@@ -1,0 +1,18 @@
+"""CoFiI2P-TPU: a TPU-native image-to-point-cloud registration framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+CoFiI2P system (coarse-to-fine I2P registration: two-stream encoders, I2P
+transformer fusion, coarse/fine correspondence prediction, EPnP-RANSAC pose
+estimation), designed TPU-first:
+
+- every shape static, every op jittable (reference: dynamic CPU preprocessing);
+- the point pyramid + kNN maps are built **on device** inside the jitted step
+  (reference builds them in 8 CPU DataLoader workers,
+  /root/reference/model/kpconv/preprocess_data.py:36-107);
+- EPnP-RANSAC is a vmapped on-device solver with zero host sync
+  (reference: cv2.solvePnPRansac, /root/reference/evaluation/eval_all.py:107);
+- data-parallel scale-out over ICI via jax.sharding Mesh + jit shardings
+  (reference is strictly single-GPU batch-size-1).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,201 @@
+"""Configuration for CoFiI2P-TPU.
+
+Mirrors the option surface of the reference config classes
+(/root/reference/data/options.py:5-115) as frozen dataclasses with CLI
+overrides, instead of hardcoded mutable classes.  Field names are kept
+identical where a reference field exists so users of the reference find
+everything under the same name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Base config; dataset-specific configs override fields.
+
+    All shape-determining fields are static so the whole pipeline jits.
+    """
+
+    dataset: str = "kitti"
+
+    # paths (reference: options.py:8-11)
+    data_path: str = "../corri2p_data"
+    root_path: str = "."
+    save_path: str = "checkpoints"
+    log_path: str = "logs"
+
+    # image geometry (reference: options.py:15-19)
+    crop_original_top_rows: int = 50
+    img_scale: float = 0.5
+    img_H: int = 160
+    img_W: int = 512
+    img_fine_resolution_scale: int = 32
+
+    # point cloud shapes (reference: options.py:21-30)
+    num_pc: int = 20480
+    num_kpt: int = 64
+    pc_min_range: float = -1.0
+    pc_max_range: float = 80.0
+    node_a_num: int = 1280
+    node_b_num: int = 1280
+
+    # pyramid (reference: preprocess_data.py:38,55-69 — 5 stages, k=128, /2 per stage)
+    num_stages: int = 5
+    neighbor_num: int = 128
+
+    # pose perturbation amplitudes, camera frame (reference: options.py:33-38)
+    P_tx_amplitude: float = 10.0
+    P_ty_amplitude: float = 0.0
+    P_tz_amplitude: float = 10.0
+    P_Rx_amplitude: float = 0.0 * math.pi / 12.0
+    P_Ry_amplitude: float = 2.0 * math.pi
+    P_Rz_amplitude: float = 0.0 * math.pi / 12.0
+
+    # loss margins / thresholds (reference: options.py:39-43)
+    dist_thres: float = 1.0
+    img_thres: float = 0.9
+    pc_thres: float = 0.9
+    pos_margin: float = 0.2
+    neg_margin: float = 1.8
+
+    # model (reference: network.py:24,33-43)
+    norm: str = "gn"
+    group_norm: int = 32
+    d_model: int = 128
+    nhead: int = 4
+    num_transformer_layers: int = 4  # x ('self','cross') pairs = 8 layers
+    kpconv_input_dim: int = 4
+    kpconv_init_dim: int = 64
+    kpconv_output_dim: int = 64
+    kernel_size: int = 15
+    init_radius: float = 4.25 * 0.1
+    init_sigma: float = 2.0 * 0.1
+
+    # training (reference: options.py:45-59)
+    epoch: int = 25
+    train_batch_size: int = 1
+    val_batch_size: int = 1
+    num_workers: int = 8
+    lr: float = 1e-3
+    min_lr: float = 1e-5
+    lr_decay_step: float = 0.25
+    lr_decay_scale: float = 0.5
+    val_freq: int = 100
+
+    # test-mode inference (reference: network.py:147-150 threshold decay loop)
+    test_score_thresholds_start: float = 0.9
+    test_score_thresholds_step: float = 0.02
+    test_score_thresholds_num: int = 46  # 0.9 down to 0.0
+
+    # on-device RANSAC (replaces cv2.solvePnPRansac(iterationsCount=10000),
+    # reference eval_all.py:107; hypotheses run in parallel on the MXU)
+    ransac_hypotheses: int = 1024
+    ransac_inlier_px: float = 8.0  # cv2 default reprojectionError
+    ransac_refine_iters: int = 2
+
+    # numerics
+    compute_dtype: str = "float32"
+
+    # derived static shapes -------------------------------------------------
+    @property
+    def pe_H(self) -> int:
+        return self.img_H // 8
+
+    @property
+    def pe_W(self) -> int:
+        return self.img_W // 8
+
+    @property
+    def num_img_tokens(self) -> int:
+        return self.pe_H * self.pe_W
+
+    @property
+    def pyramid_sizes(self) -> Tuple[int, ...]:
+        sizes = []
+        n = self.num_pc
+        for _ in range(self.num_stages):
+            sizes.append(n)
+            n //= 2
+        return tuple(sizes)
+
+    @property
+    def num_superpoints(self) -> int:
+        return self.pyramid_sizes[-1]
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class KITTIConfig(Config):
+    """KITTI Odometry (reference: Options_KITTI, options.py:5-59)."""
+
+    dataset: str = "kitti"
+
+
+@dataclasses.dataclass(frozen=True)
+class NuScenesConfig(Config):
+    """nuScenes (reference: Options_Nuscenes, options.py:61-115)."""
+
+    dataset: str = "nuscenes"
+    data_path: str = "../nuscenes_i2p"
+    epoch: int = 10
+    crop_original_top_rows: int = 100
+    img_scale: float = 0.4
+    img_W: int = 320
+    num_kpt: int = 32
+
+
+#: tiny config for unit tests / multi-chip dry runs — same architecture,
+#: reduced static shapes so CPU tests stay fast.
+@dataclasses.dataclass(frozen=True)
+class TinyConfig(Config):
+    dataset: str = "tiny"
+    img_H: int = 32
+    img_W: int = 64
+    num_pc: int = 512
+    num_kpt: int = 8
+    neighbor_num: int = 16
+    ransac_hypotheses: int = 32
+
+
+def get_config(name: str) -> Config:
+    name = name.lower()
+    if name == "kitti":
+        return KITTIConfig()
+    if name == "nuscenes":
+        return NuScenesConfig()
+    if name == "tiny":
+        return TinyConfig()
+    raise ValueError(
+        f"unknown dataset {name!r}: only 'kitti', 'nuscenes' (and 'tiny' for tests) are supported"
+    )
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``key=value`` CLI overrides with type coercion from field types."""
+    if not overrides:
+        return cfg
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    kw = {}
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must look like key=value")
+        key, val = ov.split("=", 1)
+        if key not in fields:
+            raise ValueError(f"unknown config field {key!r}")
+        typ = fields[key].type
+        if typ in ("int", int):
+            kw[key] = int(val)
+        elif typ in ("float", float):
+            kw[key] = float(val)
+        elif typ in ("bool", bool):
+            kw[key] = val.lower() in ("1", "true", "yes")
+        else:
+            kw[key] = val
+    return cfg.replace(**kw)
