@@ -1,0 +1,91 @@
+"""I2P feature-fusion transformer (LoFTR-style alternating self/cross).
+
+Capability match for the reference LocalFeatureTransformer
+(/root/reference/model/transformer/transformer.py:15-103): 8 layers of
+('self','cross') x 4 at d_model=128, nhead=4, full attention.
+
+Parity quirk preserved on purpose: the reference normalizes the projected
+query with F.normalize's *default dim=1*, i.e. across the sequence axis of
+the (B, L, H, D) tensor (transformer.py:53) — not across the head dim.
+Checkpoints are trained with that behavior, so we reproduce it exactly.
+
+Token counts are static (1280 image x 1280 superpoints), so full O(L*S)
+attention is a single fused einsum chain per layer — comfortably MXU-bound
+at this size; no sequence sharding is warranted (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cofii2p_tpu.models.layers import xavier_init
+
+
+class LoFTREncoderLayer(nn.Module):
+    d_model: int = 128
+    nhead: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, source: jax.Array) -> jax.Array:
+        """x (B, L, C) attends to source (B, S, C)."""
+        b, l, c = x.shape
+        h = self.nhead
+        d = c // h
+
+        dense = lambda name: nn.Dense(
+            c, use_bias=False, kernel_init=xavier_init, name=name
+        )
+        q = dense("q_proj")(x).reshape(b, l, h, d)
+        k = dense("k_proj")(source).reshape(b, -1, h, d)
+        v = dense("v_proj")(source).reshape(b, -1, h, d)
+
+        # reference quirk: L2-normalize q along the *sequence* axis (dim=1)
+        q = q / jnp.maximum(
+            jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12
+        )
+
+        logits = jnp.einsum(
+            "blhd,bshd->blsh", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(d))
+        attn = jax.nn.softmax(logits, axis=2)
+        message = jnp.einsum(
+            "blsh,bshd->blhd", attn, v, preferred_element_type=jnp.float32
+        ).reshape(b, l, c)
+
+        message = dense("merge")(message)
+        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
+
+        y = jnp.concatenate([x, message], axis=-1)
+        y = nn.Dense(2 * c, use_bias=False, kernel_init=xavier_init, name="mlp1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=xavier_init, name="mlp2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
+        return x + y
+
+
+class LocalFeatureTransformer(nn.Module):
+    """Alternating self/cross fusion over two token sets
+    (reference transformer.py:67-103)."""
+
+    d_model: int = 128
+    nhead: int = 4
+    layer_names: Sequence[str] = ("self", "cross") * 4
+
+    @nn.compact
+    def __call__(self, feat0: jax.Array, feat1: jax.Array):
+        assert feat0.shape[-1] == self.d_model
+        for i, name in enumerate(self.layer_names):
+            layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"layer{i}")
+            if name == "self":
+                feat0 = layer(feat0, feat0)
+                feat1 = layer(feat1, feat1)
+            elif name == "cross":
+                feat0 = layer(feat0, feat1)
+                feat1 = layer(feat1, feat0)
+            else:
+                raise KeyError(name)
+        return feat0, feat1
