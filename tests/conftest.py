@@ -14,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# this image's sitecustomize force-registers the axon TPU backend regardless
+# of JAX_PLATFORMS in the environment; the config update below wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
