@@ -16,3 +16,22 @@ estimation), designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the flagship programs (fused train step,
+# eval pipeline) take tens of seconds to minutes to compile; cache them
+# across processes.  Opt out with COFII2P_NO_COMPILE_CACHE=1.
+if not _os.environ.get("COFII2P_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "cofii2p_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -29,7 +29,8 @@ from cofii2p_tpu.data.augment import (
     scale_intrinsics,
 )
 from cofii2p_tpu.data.calib import KittiCalib
-from cofii2p_tpu.data.voxel import resample_fixed, voxel_downsample
+from cofii2p_tpu.data.voxel import resample_fixed
+from cofii2p_tpu.native import voxel_downsample  # native with NumPy fallback
 
 
 class KittiDataset:
