@@ -46,16 +46,19 @@ def main():
     pipeline = make_eval_pipeline(cfg, model)
     rng = jax.random.PRNGKey(0)
 
-    # warmup/compile
-    out = pipeline(state.params, state.batch_stats, host, rng)
-    jax.block_until_ready(out)
+    # hard-sync timing: device->host readback per iteration (on this tunneled
+    # backend block_until_ready alone is not a reliable barrier)
+    from cofii2p_tpu.utils.profiling import timeit_sync
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipeline(state.params, state.batch_stats, host, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    counter = iter(range(10_000))
+    dt = timeit_sync(
+        lambda: pipeline(
+            state.params, state.batch_stats, host,
+            jax.random.fold_in(rng, next(counter)),
+        ),
+        warmup=3,
+        iters=10,
+    )
     fps = batch_size / dt
 
     print(

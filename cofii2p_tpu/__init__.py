@@ -25,9 +25,22 @@ import os as _os
 if not _os.environ.get("COFII2P_NO_COMPILE_CACHE"):
     import jax as _jax
 
+    # scope the cache by platform-affecting env so CPU and TPU artifacts
+    # (compiled with different machine features) never mix
+    import hashlib as _hashlib
+
+    _env_key = _hashlib.md5(
+        (
+            _os.environ.get("JAX_PLATFORMS", "")
+            + _os.environ.get("XLA_FLAGS", "")
+            + _os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "")
+        ).encode()
+    ).hexdigest()[:8]
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "cofii2p_tpu_xla"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"cofii2p_tpu_xla_{_env_key}"
+        ),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

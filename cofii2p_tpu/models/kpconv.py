@@ -16,7 +16,7 @@ functional.py), re-designed batch-first for TPU:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -58,6 +58,7 @@ class KPConv(nn.Module):
     radius: float = 0.425
     sigma: float = 0.2
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
@@ -94,15 +95,23 @@ class KPConv(nn.Module):
         influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 0.0)) / self.sigma, 0.0)
         influence = jnp.where(valid[..., None], influence, 0.0)  # (B, M, H, K)
 
-        nbr_feats = gather_neighbors(s_feats, neighbor_indices)  # (B, M, H, C)
+        # bf16 path: casting the gathered features halves the dominant HBM
+        # traffic of the whole branch (the (B,M,H,C) neighbor tensor), and
+        # both einsums accumulate in fp32 on the MXU.
+        nbr_feats = gather_neighbors(
+            s_feats.astype(self.dtype), neighbor_indices
+        )  # (B, M, H, C)
         weighted = jnp.einsum(
             "bmhk,bmhc->bmkc",
-            influence,
+            influence.astype(self.dtype),
             nbr_feats,
             preferred_element_type=jnp.float32,
         )
         out = jnp.einsum(
-            "bmkc,kcd->bmd", weighted, weights, preferred_element_type=jnp.float32
+            "bmkc,kcd->bmd",
+            weighted.astype(self.dtype),
+            weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
         )
 
         # normalize by the number of "active" neighbors — the reference counts
@@ -131,10 +140,11 @@ class UnaryBlock(nn.Module):
     norm: str = "gn"
     group_norm: int = 32
     has_relu: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = Linear(self.out_channels, name="mlp")(x)
+        x = Linear(self.out_channels, dtype=self.dtype, name="mlp")(x)
         x = norm_factory(self.norm, self.group_norm)(x)
         if self.has_relu:
             x = leaky_relu(x)
@@ -150,11 +160,13 @@ class ConvBlock(nn.Module):
     sigma: float
     norm: str = "gn"
     group_norm: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
         x = KPConv(
-            self.out_channels, self.kernel_size, self.radius, self.sigma, name="KPConv"
+            self.out_channels, self.kernel_size, self.radius, self.sigma,
+            dtype=self.dtype, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
@@ -171,6 +183,7 @@ class ResidualBlock(nn.Module):
     norm: str = "gn"
     group_norm: int = 32
     strided: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
@@ -178,14 +191,15 @@ class ResidualBlock(nn.Module):
 
         x = s_feats
         if self.in_channels != mid:
-            x = UnaryBlock(mid, self.norm, self.group_norm, name="unary1")(x)
-        x = KPConv(mid, self.kernel_size, self.radius, self.sigma, name="KPConv")(
+            x = UnaryBlock(mid, self.norm, self.group_norm, dtype=self.dtype, name="unary1")(x)
+        x = KPConv(mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype, name="KPConv")(
             x, q_points, s_points, neighbor_indices
         )
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
-            self.out_channels, self.norm, self.group_norm, has_relu=False, name="unary2"
+            self.out_channels, self.norm, self.group_norm, has_relu=False,
+            dtype=self.dtype, name="unary2",
         )(x)
 
         if self.strided:
@@ -198,6 +212,7 @@ class ResidualBlock(nn.Module):
                 self.norm,
                 self.group_norm,
                 has_relu=False,
+                dtype=self.dtype,
                 name="unary_shortcut",
             )(shortcut)
         return leaky_relu(x + shortcut)
@@ -221,12 +236,13 @@ class KPConvFPN(nn.Module):
     init_sigma: float = 0.2
     norm: str = "gn"
     group_norm: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, points, neighbors, subsampling, upsampling):
         d, ks = self.init_dim, self.kernel_size
         r, s = self.init_radius, self.init_sigma
-        kw = dict(norm=self.norm, group_norm=self.group_norm)
+        kw = dict(norm=self.norm, group_norm=self.group_norm, dtype=self.dtype)
 
         enc = {}
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw)(
@@ -286,7 +302,7 @@ class KPConvFPN(nn.Module):
             jnp.concatenate([up3, enc[3]], axis=-1)
         )
         up2 = nearest_upsample(up3, upsampling[1])
-        up2 = Linear(self.output_dim, name="decoder2")(
+        up2 = Linear(self.output_dim, dtype=self.dtype, name="decoder2")(
             jnp.concatenate([up2, enc[2]], axis=-1)
         )
         return [up2, up3, up4, latent]

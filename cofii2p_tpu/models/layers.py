@@ -19,6 +19,8 @@ training dynamics are comparable.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -37,10 +39,12 @@ def torch_bias_init(key, shape, dtype, fan_in: int):
 
 def instance_norm(x: jax.Array, spatial_axes: tuple, eps: float = 1e-5) -> jax.Array:
     """Parameter-free instance norm over the given axes (biased variance,
-    matching torch InstanceNorm with affine=False)."""
-    mean = jnp.mean(x, axis=spatial_axes, keepdims=True)
-    var = jnp.var(x, axis=spatial_axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    matching torch InstanceNorm with affine=False).  Statistics always in
+    fp32 so bf16 activations stay stable."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=spatial_axes, keepdims=True)
+    var = jnp.var(x32, axis=spatial_axes, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class PointGroupNorm(nn.Module):
@@ -59,15 +63,16 @@ class PointGroupNorm(nn.Module):
         c = x.shape[-1]
         g = self.num_groups
         assert c % g == 0, (c, g)
+        dtype = x.dtype
         shape = x.shape[:-2] + (x.shape[-2], g, c // g)
-        xg = x.reshape(shape)
+        xg = x.astype(jnp.float32).reshape(shape)
         mean = jnp.mean(xg, axis=(-3, -1), keepdims=True)
         var = jnp.var(xg, axis=(-3, -1), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
         out = xg.reshape(x.shape)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return out * scale + bias
+        return (out * scale + bias).astype(dtype)
 
 
 class TorchLayerNorm(nn.Module):
@@ -79,10 +84,15 @@ class TorchLayerNorm(nn.Module):
 
 
 class Linear(nn.Module):
-    """Dense layer with torch-default initialization."""
+    """Dense layer with torch-default initialization.
+
+    ``dtype`` sets the computation dtype (params stay fp32): bf16 here puts
+    the matmul on the MXU's fast path.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -93,6 +103,7 @@ class Linear(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_linear_init,
             bias_init=bias_init,
+            dtype=self.dtype,
         )(x)
 
 

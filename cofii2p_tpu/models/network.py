@@ -42,21 +42,24 @@ from cofii2p_tpu.ops.patch import extract_patches
 
 
 def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    x32 = x.astype(jnp.float32)
+    return x32 / jnp.maximum(jnp.linalg.norm(x32, axis=axis, keepdims=True), eps)
 
 
 class PCFeatureHead(nn.Module):
     """2048 -> 1024 -> 512 -> 128 projection (reference network.py:29)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        x = Linear(1024, use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=1e-5)(x)
+        x = Linear(1024, use_bias=False, dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = Linear(512, use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=1e-5)(x)
+        x = Linear(512, use_bias=False, dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return Linear(128, use_bias=False)(x)
+        return Linear(128, use_bias=False, dtype=self.dtype)(x)
 
 
 class ScoreHead(nn.Module):
@@ -65,17 +68,19 @@ class ScoreHead(nn.Module):
     instance-norm statistics span all non-channel, non-batch axes, matching
     torch InstanceNorm1d/2d."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         spatial = tuple(range(1, x.ndim - 1))
-        x = Linear(128, use_bias=False)(x)
+        x = Linear(128, use_bias=False, dtype=self.dtype)(x)
         x = instance_norm(x, spatial)
         x = nn.relu(x)
-        x = Linear(64, use_bias=False)(x)
+        x = Linear(64, use_bias=False, dtype=self.dtype)(x)
         x = instance_norm(x, spatial)
         x = nn.relu(x)
-        x = Linear(1, use_bias=False)(x)
-        return nn.sigmoid(x)
+        x = Linear(1, use_bias=False, dtype=self.dtype)(x)
+        return nn.sigmoid(x.astype(jnp.float32))
 
 
 class CoFiI2P(nn.Module):
@@ -94,6 +99,7 @@ class CoFiI2P(nn.Module):
         upsampling = batch["upsampling"]
         b = img.shape[0]
         h8, w8 = cfg.pe_H, cfg.pe_W
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         # --- two-stream encoders (reference network.py:76-92) ---
         pc_feature_set = KPConvFPN(
@@ -105,13 +111,16 @@ class CoFiI2P(nn.Module):
             init_sigma=cfg.init_sigma,
             norm=cfg.norm,
             group_norm=cfg.group_norm,
+            dtype=dtype,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)
-        img_feature_set = ResNetEncoder(name="img_encoder")(img)
+        img_feature_set = ResNetEncoder(dtype=dtype, name="img_encoder")(img)
 
         pc_fine = l2norm(pc_feature_set[0])  # (B, N1, 64) fine matching feats
         pc_latent = pc_feature_set[-1]  # (B, S, 2048)
-        pc_feature_middle = l2norm(PCFeatureHead(name="pc_feature_layer")(pc_latent))
+        pc_feature_middle = l2norm(
+            PCFeatureHead(dtype=dtype, name="pc_feature_layer")(pc_latent)
+        )
 
         img_s2 = img_feature_set[0]  # (B, H/2, W/2, 64)
         img_s4 = img_feature_set[1]  # (B, H/4, W/4, 64)
@@ -129,19 +138,24 @@ class CoFiI2P(nn.Module):
             d_model=cfg.d_model,
             nhead=cfg.nhead,
             layer_names=("self", "cross") * cfg.num_transformer_layers,
+            dtype=dtype,
             name="transformer",
-        )(img_tokens, pc_tokens)
+        )(img_tokens.astype(dtype), pc_tokens.astype(dtype))
         img_mid_map = img_mid.reshape(b, h8, w8, cfg.d_model)
 
         # --- overlap scores + normalized coarse features (network.py:123-126) ---
-        coarse_pc_score = ScoreHead(name="pc_score_layer")(pc_fused)[..., 0]  # (B,S)
-        coarse_img_score = ScoreHead(name="img_score_layer")(img_mid_map)[..., 0]
+        coarse_pc_score = ScoreHead(dtype=dtype, name="pc_score_layer")(pc_fused)[..., 0]
+        coarse_img_score = ScoreHead(dtype=dtype, name="img_score_layer")(img_mid_map)[..., 0]
         pc_feature_norm = l2norm(pc_fused)  # (B, S, 128)
         img_feature_norm = l2norm(img_mid_map)  # (B, h8, w8, 128)
 
         # --- fine image map /8 -> /4 -> /2 (network.py:129-130) ---
-        up4 = ImageUpSample(128, name="img_upsample_1")(img_s8_raw, img_s4, train)
-        up2 = l2norm(ImageUpSample(64, name="img_upsample_2")(up4, img_s2, train))
+        up4 = ImageUpSample(128, dtype=dtype, name="img_upsample_1")(
+            img_s8_raw, img_s4, train
+        )
+        up2 = l2norm(
+            ImageUpSample(64, dtype=dtype, name="img_upsample_2")(up4, img_s2, train)
+        )
 
         out = {
             "img_feature_norm": img_feature_norm,

@@ -12,7 +12,7 @@ as the reference's affine=False InstanceNorm), bf16-friendly convs.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -25,6 +25,7 @@ class Conv(nn.Module):
     features: int
     kernel: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -36,6 +37,7 @@ class Conv(nn.Module):
             padding=((pad, pad), (pad, pad)),
             use_bias=False,
             kernel_init=kaiming_out_init,
+            dtype=self.dtype,
         )(x)
 
 
@@ -45,17 +47,20 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = Conv(self.features, 3, self.stride, name="conv1")(x)
+        out = Conv(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         out = instance_norm(out, (1, 2))
         out = nn.relu(out)
-        out = Conv(self.features, 3, 1, name="conv2")(out)
+        out = Conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(out)
         out = instance_norm(out, (1, 2))
         if self.stride != 1 or x.shape[-1] != self.features:
-            identity = Conv(self.features, 1, self.stride, name="downsample")(x)
+            identity = Conv(
+                self.features, 1, self.stride, dtype=self.dtype, name="downsample"
+            )(x)
             identity = instance_norm(identity, (1, 2))
         return nn.relu(out + identity)
 
@@ -69,11 +74,13 @@ class ResNetEncoder(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stage_features: Sequence[int] = (64, 128, 256, 512)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         out = []
-        x = Conv(64, 7, 2, name="conv1")(x)
+        x = x.astype(self.dtype)
+        x = Conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
         x = instance_norm(x, (1, 2))
         x = nn.relu(x)
         out.append(x)  # /2, 64ch
@@ -93,6 +100,7 @@ class ResNetEncoder(nn.Module):
                 x = BasicBlock(
                     feats,
                     stride if b == 0 else 1,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             out.append(x)  # /4, /8, /16, /32
@@ -105,18 +113,20 @@ class ResidualConv(nn.Module):
     """Decoder residual conv with BatchNorm (reference imagenet.py:377-411)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
         )
-        identity = Conv(self.features, 3, 1, name="conv_skip")(x)
+        identity = Conv(self.features, 3, 1, dtype=self.dtype, name="conv_skip")(x)
         identity = bn("bn_skip")(identity)
-        out = Conv(self.features, 3, 1, name="conv1")(x)
+        out = Conv(self.features, 3, 1, dtype=self.dtype, name="conv1")(x)
         out = bn("bn1")(out)
         out = nn.relu(out)
-        out = Conv(self.features, 3, 1, name="conv2")(out)
+        out = Conv(self.features, 3, 1, dtype=self.dtype, name="conv2")(out)
         out = bn("bn2")(out)
         return nn.relu(out + identity)
 
@@ -126,12 +136,13 @@ class ImageUpSample(nn.Module):
     (reference imagenet.py:431-444; used at network.py:39-40)."""
 
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_coarse, x_skip, train: bool):
         b, h, w, c = x_coarse.shape
         up = jax.image.resize(x_coarse, (b, h * 2, w * 2, c), method="bilinear")
-        x = jnp.concatenate([up, x_skip], axis=-1)
-        x = ResidualConv(self.features, name="res1")(x, train)
-        x = ResidualConv(self.features, name="res2")(x, train)
+        x = jnp.concatenate([up, x_skip.astype(up.dtype)], axis=-1)
+        x = ResidualConv(self.features, dtype=self.dtype, name="res1")(x, train)
+        x = ResidualConv(self.features, dtype=self.dtype, name="res2")(x, train)
         return x

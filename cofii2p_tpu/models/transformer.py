@@ -16,7 +16,7 @@ at this size; no sequence sharding is warranted (SURVEY.md §5).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -28,6 +28,7 @@ from cofii2p_tpu.models.layers import xavier_init
 class LoFTREncoderLayer(nn.Module):
     d_model: int = 128
     nhead: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, source: jax.Array) -> jax.Array:
@@ -37,16 +38,16 @@ class LoFTREncoderLayer(nn.Module):
         d = c // h
 
         dense = lambda name: nn.Dense(
-            c, use_bias=False, kernel_init=xavier_init, name=name
+            c, use_bias=False, kernel_init=xavier_init, dtype=self.dtype, name=name
         )
         q = dense("q_proj")(x).reshape(b, l, h, d)
         k = dense("k_proj")(source).reshape(b, -1, h, d)
         v = dense("v_proj")(source).reshape(b, -1, h, d)
 
-        # reference quirk: L2-normalize q along the *sequence* axis (dim=1)
-        q = q / jnp.maximum(
-            jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12
-        )
+        # reference quirk: L2-normalize q along the *sequence* axis (dim=1);
+        # the norm runs in fp32 for bf16 stability
+        q32 = q.astype(jnp.float32)
+        q = (q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-12)).astype(q.dtype)
 
         logits = jnp.einsum(
             "blhd,bshd->blsh", q, k, preferred_element_type=jnp.float32
@@ -56,14 +57,14 @@ class LoFTREncoderLayer(nn.Module):
             "blsh,bshd->blhd", attn, v, preferred_element_type=jnp.float32
         ).reshape(b, l, c)
 
-        message = dense("merge")(message)
-        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
+        message = dense("merge")(message.astype(self.dtype))
+        message = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(message)
 
-        y = jnp.concatenate([x, message], axis=-1)
-        y = nn.Dense(2 * c, use_bias=False, kernel_init=xavier_init, name="mlp1")(y)
+        y = jnp.concatenate([x.astype(self.dtype), message], axis=-1)
+        y = nn.Dense(2 * c, use_bias=False, kernel_init=xavier_init, dtype=self.dtype, name="mlp1")(y)
         y = nn.relu(y)
-        y = nn.Dense(c, use_bias=False, kernel_init=xavier_init, name="mlp2")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=xavier_init, dtype=self.dtype, name="mlp2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
         return x + y
 
 
@@ -74,12 +75,13 @@ class LocalFeatureTransformer(nn.Module):
     d_model: int = 128
     nhead: int = 4
     layer_names: Sequence[str] = ("self", "cross") * 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat0: jax.Array, feat1: jax.Array):
         assert feat0.shape[-1] == self.d_model
         for i, name in enumerate(self.layer_names):
-            layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"layer{i}")
+            layer = LoFTREncoderLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"layer{i}")
             if name == "self":
                 feat0 = layer(feat0, feat0)
                 feat1 = layer(feat1, feat1)

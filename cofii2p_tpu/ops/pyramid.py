@@ -30,12 +30,13 @@ import jax.numpy as jnp
 from cofii2p_tpu.ops.knn import knn
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "neighbor_num"))
+@functools.partial(jax.jit, static_argnames=("sizes", "neighbor_num", "approx"))
 def build_pyramid(
     points: jax.Array,
     rng: jax.Array,
     sizes: Sequence[int],
     neighbor_num: int = 128,
+    approx: bool = True,
 ) -> dict:
     """Build the point pyramid + neighbor maps for one sample.
 
@@ -69,13 +70,13 @@ def build_pyramid(
     upsampling_list = []
     for lvl in range(num_stages):
         cur = points_list[lvl]
-        neighbors_list.append(knn(cur, cur, neighbor_num))
+        neighbors_list.append(knn(cur, cur, neighbor_num, approx=approx))
         if lvl < num_stages - 1:
             sub = points_list[lvl + 1]
             # queries at the coarse level, database at the fine level
-            subsampling_list.append(knn(sub, cur, neighbor_num))
+            subsampling_list.append(knn(sub, cur, neighbor_num, approx=approx))
             # queries at the fine level, database at the coarse level
-            upsampling_list.append(knn(cur, sub, neighbor_num))
+            upsampling_list.append(knn(cur, sub, neighbor_num, approx=approx))
 
     return {
         "points": points_list,

@@ -139,14 +139,10 @@ def main(argv=None):
             if args.steps and global_step >= args.steps:
                 stop = True
                 break
-        if not args.steps or not stop:
-            path = save_checkpoint(save_dir, global_step, state)
-            logger.info("saved %s", path)
-        if stop:
-            break
-    if stop:
         path = save_checkpoint(save_dir, global_step, state)
         logger.info("saved %s", path)
+        if stop:
+            break
     writer.close()
     return save_dir
 

@@ -155,14 +155,17 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
         if tpath + "bias" in sd:
             set_in(params, fpath + ("bias",), take(tpath + "bias", "raw"))
 
-    def gn(fpath, tpath):
-        set_in(params, fpath + ("scale",), take(tpath + "norm.norm.weight", "raw"))
-        set_in(params, fpath + ("bias",), take(tpath + "norm.norm.bias", "raw"))
+    def gn(fpath, wrapper_prefix):
+        # wrapper_prefix names the reference GroupNorm *wrapper* module
+        # ("encoder1_1.norm" for ConvBlock, "...norm_conv" for ResidualBlock);
+        # its inner nn.GroupNorm is attribute .norm (modules.py:43)
+        set_in(params, fpath + ("scale",), take(wrapper_prefix + ".norm.weight", "raw"))
+        set_in(params, fpath + ("bias",), take(wrapper_prefix + ".norm.bias", "raw"))
 
     pe = "pc_encoder."
     fpe = ("pc_encoder",)
     kpconv(fpe + ("encoder1_1", "KPConv"), pe + "encoder1_1.KPConv.")
-    gn(fpe + ("encoder1_1", "PointGroupNorm_0"), pe + "encoder1_1.")
+    gn(fpe + ("encoder1_1", "PointGroupNorm_0"), pe + "encoder1_1.norm")
     res_names = ["encoder1_2"] + [
         f"encoder{s}_{i}" for s in range(2, 6) for i in range(1, 4)
     ]
@@ -172,7 +175,7 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
         if tb + "unary1.mlp.weight" in sd:
             unary(fb + ("unary1",), tb + "unary1.")
         kpconv(fb + ("KPConv",), tb + "KPConv.")
-        gn(fb + ("PointGroupNorm_0",), tb + "norm_conv.")
+        gn(fb + ("PointGroupNorm_0",), tb + "norm_conv")
         unary(fb + ("unary2",), tb + "unary2.")
         if tb + "unary_shortcut.mlp.weight" in sd:
             unary(fb + ("unary_shortcut",), tb + "unary_shortcut.")
@@ -182,6 +185,7 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
     set_in(params, fpe + ("decoder2", "Dense_0", "bias"), take(pe + "decoder2.mlp.bias", "raw"))
 
     unused = {k for k in sd if k not in used}
+    globals()["_last_unused"] = unused  # introspection for tests
     # expected unused: kernel-point buffers (random per load in the reference)
     # and the never-called fine positional MLPs (network.py:36-37)
     unexpected = {
@@ -193,3 +197,121 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
     if unexpected:
         raise KeyError(f"unmapped reference parameters: {sorted(unexpected)[:10]}...")
     return params, batch_stats
+
+
+def export_t7(params: dict, batch_stats: dict, path: str):
+    """Inverse of :func:`import_t7`: write our params as a reference-layout
+    torch ``state_dict`` (reference module naming, torch tensor layouts).
+
+    Lets users move weights trained here back into the reference codebase,
+    and gives the importer a round-trip test target.
+    """
+    import torch
+
+    sd = {}
+
+    def put(name: str, arr: np.ndarray, kind: str):
+        arr = np.asarray(arr)
+        if kind == "conv":
+            arr = np.transpose(arr, (3, 2, 0, 1))
+        elif kind == "linear":
+            arr = arr.T
+        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    def get(tree, path_):
+        node = tree
+        for p in path_:
+            node = node[p]
+        return node
+
+    # image encoder
+    put("img_encoder.backbone.conv1.weight", get(params, ("img_encoder", "conv1", "Conv_0", "kernel")), "conv")
+    for s, blocks in enumerate([3, 4, 6, 3]):
+        for b in range(blocks):
+            fb = ("img_encoder", f"layer{s+1}_{b}")
+            tb = f"img_encoder.backbone.layer{s+1}.{b}."
+            put(tb + "conv1.weight", get(params, fb + ("conv1", "Conv_0", "kernel")), "conv")
+            put(tb + "conv2.weight", get(params, fb + ("conv2", "Conv_0", "kernel")), "conv")
+            try:
+                put(tb + "downsample.0.weight", get(params, fb + ("downsample", "Conv_0", "kernel")), "conv")
+            except KeyError:
+                pass
+
+    # pc feature head
+    for tidx, fname in [("0", "Linear_0"), ("3", "Linear_1"), ("6", "Linear_2")]:
+        put(f"pc_feature_layer.{tidx}.weight", get(params, ("pc_feature_layer", fname, "Dense_0", "kernel")), "linear")
+    for tidx, fname in [("1", "LayerNorm_0"), ("4", "LayerNorm_1")]:
+        put(f"pc_feature_layer.{tidx}.weight", get(params, ("pc_feature_layer", fname, "scale")), "raw")
+        put(f"pc_feature_layer.{tidx}.bias", get(params, ("pc_feature_layer", fname, "bias")), "raw")
+
+    # score heads: 1x1 convs stored as (O, I, 1) / (O, I, 1, 1) in torch; we
+    # export the Conv1d layout the reference pc head uses and the Conv2d
+    # layout for the image head
+    for fname, tname, rank in [("pc_score_layer", "pc_score_layer", 3), ("img_score_layer", "img_score_layer", 4)]:
+        for fidx, tidx in [("Linear_0", "0"), ("Linear_1", "3"), ("Linear_2", "6")]:
+            w = np.asarray(get(params, (fname, fidx, "Dense_0", "kernel"))).T  # (O, I)
+            w = w.reshape(w.shape + (1,) * (rank - 2))
+            sd[f"{tname}.{tidx}.weight"] = __import__("torch").from_numpy(np.ascontiguousarray(w))
+
+    # transformer
+    for i in range(len(params["transformer"])):
+        fb = ("transformer", f"layer{i}")
+        tb = f"transformer.layers.{i}."
+        for nm in ["q_proj", "k_proj", "v_proj", "merge"]:
+            put(tb + nm + ".weight", get(params, fb + (nm, "kernel")), "linear")
+        put(tb + "mlp.0.weight", get(params, fb + ("mlp1", "kernel")), "linear")
+        put(tb + "mlp.2.weight", get(params, fb + ("mlp2", "kernel")), "linear")
+        for nm in ["norm1", "norm2"]:
+            put(tb + nm + ".weight", get(params, fb + (nm, "scale")), "raw")
+            put(tb + nm + ".bias", get(params, fb + (nm, "bias")), "raw")
+
+    # image upsample decoders
+    for f_up in ["img_upsample_1", "img_upsample_2"]:
+        for f_res, t_res in [("res1", "conv.0"), ("res2", "conv.1")]:
+            fb = (f_up, f_res)
+            tb = f"{f_up}.{t_res}."
+            put(tb + "conv1.weight", get(params, fb + ("conv1", "Conv_0", "kernel")), "conv")
+            put(tb + "conv2.weight", get(params, fb + ("conv2", "Conv_0", "kernel")), "conv")
+            put(tb + "conv_skip.0.weight", get(params, fb + ("conv_skip", "Conv_0", "kernel")), "conv")
+            for fbn, tbn in [("bn1", "bn1"), ("bn2", "bn2"), ("bn_skip", "conv_skip.1")]:
+                put(tb + tbn + ".weight", get(params, fb + (fbn, "scale")), "raw")
+                put(tb + tbn + ".bias", get(params, fb + (fbn, "bias")), "raw")
+                put(tb + tbn + ".running_mean", get(batch_stats, fb + (fbn, "mean")), "raw")
+                put(tb + tbn + ".running_var", get(batch_stats, fb + (fbn, "var")), "raw")
+
+    # KPConv FPN
+    def unary_out(fpath, tpath):
+        put(tpath + "mlp.weight", get(params, fpath + ("mlp", "Dense_0", "kernel")), "linear")
+        put(tpath + "mlp.bias", get(params, fpath + ("mlp", "Dense_0", "bias")), "raw")
+        try:
+            put(tpath + "norm.norm.weight", get(params, fpath + ("PointGroupNorm_0", "scale")), "raw")
+            put(tpath + "norm.norm.bias", get(params, fpath + ("PointGroupNorm_0", "bias")), "raw")
+        except KeyError:
+            pass
+
+    pe, fpe = "pc_encoder.", ("pc_encoder",)
+    put(pe + "encoder1_1.KPConv.weights", get(params, fpe + ("encoder1_1", "KPConv", "weights")), "raw")
+    put(pe + "encoder1_1.KPConv.bias", get(params, fpe + ("encoder1_1", "KPConv", "bias")), "raw")
+    put(pe + "encoder1_1.norm.norm.weight", get(params, fpe + ("encoder1_1", "PointGroupNorm_0", "scale")), "raw")
+    put(pe + "encoder1_1.norm.norm.bias", get(params, fpe + ("encoder1_1", "PointGroupNorm_0", "bias")), "raw")
+    res_names = ["encoder1_2"] + [f"encoder{s}_{i}" for s in range(2, 6) for i in range(1, 4)]
+    for nm in res_names:
+        fb, tb = fpe + (nm,), pe + nm + "."
+        if "unary1" in params["pc_encoder"][nm]:
+            unary_out(fb + ("unary1",), tb + "unary1.")
+        put(tb + "KPConv.weights", get(params, fb + ("KPConv", "weights")), "raw")
+        put(tb + "KPConv.bias", get(params, fb + ("KPConv", "bias")), "raw")
+        put(tb + "norm_conv.norm.weight", get(params, fb + ("PointGroupNorm_0", "scale")), "raw")
+        put(tb + "norm_conv.norm.bias", get(params, fb + ("PointGroupNorm_0", "bias")), "raw")
+        unary_out(fb + ("unary2",), tb + "unary2.")
+        if "unary_shortcut" in params["pc_encoder"][nm]:
+            unary_out(fb + ("unary_shortcut",), tb + "unary_shortcut.")
+    unary_out(fpe + ("decoder4",), pe + "decoder4.")
+    unary_out(fpe + ("decoder3",), pe + "decoder3.")
+    put(pe + "decoder2.mlp.weight", get(params, fpe + ("decoder2", "Dense_0", "kernel")), "linear")
+    put(pe + "decoder2.mlp.bias", get(params, fpe + ("decoder2", "Dense_0", "bias")), "raw")
+
+    import torch
+
+    torch.save(sd, path)
+    return sd
