@@ -94,7 +94,7 @@ class Config:
 
     # on-device RANSAC (replaces cv2.solvePnPRansac(iterationsCount=10000),
     # reference eval_all.py:107; hypotheses run in parallel on the MXU)
-    ransac_hypotheses: int = 1024
+    ransac_hypotheses: int = 512
     ransac_inlier_px: float = 8.0  # cv2 default reprojectionError
     ransac_refine_iters: int = 2
 

@@ -63,6 +63,7 @@ def _prepare_one(
         feats = jnp.concatenate([attrs[:, :1], pc_w], axis=-1)
 
     pyr = build_pyramid(pc_w, r_pyr, cfg.pyramid_sizes, cfg.neighbor_num)
+    feats = jnp.take(feats, pyr["perm0"], axis=0)  # realign to Morton order
     superpoints = pyr["points"][-1]  # (S, 3)
 
     # ground-truth projection back to the camera: x_cam = P^-1 x_w

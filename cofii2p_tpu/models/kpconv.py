@@ -44,12 +44,43 @@ def nearest_upsample(feats: jax.Array, upsample_indices: jax.Array) -> jax.Array
     )
 
 
+def kernel_influence(q_points, s_points, neighbor_indices, radius, sigma, kernel_size=15):
+    """Linear-correlation influence of each kernel point on each neighbor
+    (reference kpconv.py:95-100), computed once per (level, radius) and
+    shared by all sibling conv blocks — the neighbor-coordinate gather and
+    the (B,M,H,K) influence tensor are among the branch's dominant memory
+    costs, and recomputing them per block (as the reference does) is waste.
+
+    Returns (B, M, H, K) with shadow neighbors zeroed.
+    """
+    n = s_points.shape[-2]
+    kp = jnp.asarray(load_kernel_points(radius, kernel_size, 3))  # (K, 3)
+    valid = neighbor_indices < n  # (B, M, H)
+    nbr_pts = gather_neighbors(s_points, neighbor_indices)  # (B, M, H, 3)
+    offsets = nbr_pts - q_points[..., None, :]  # (B, M, H, 3)
+
+    # squared dist to each kernel point via the matmul identity: keeps the
+    # (B,M,H,K,3) difference tensor out of HBM (it would be ~0.5 GB at
+    # KITTI scale if materialized like the reference's kpconv.py:97).
+    cross = jnp.einsum(
+        "bmhd,kd->bmhk", offsets, kp, precision=jax.lax.Precision.HIGHEST
+    )
+    sq = (
+        jnp.sum(offsets**2, axis=-1, keepdims=True)
+        + jnp.sum(kp**2, axis=-1)[None, None, None, :]
+        - 2.0 * cross
+    )
+    influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 0.0)) / sigma, 0.0)
+    return jnp.where(valid[..., None], influence, 0.0)  # (B, M, H, K)
+
+
 class KPConv(nn.Module):
     """Rigid kernel-point convolution (reference kpconv.py:79-122).
 
     Inputs:
       s_feats: (B, N, Cin), q_points: (B, M, 3), s_points: (B, N, 3),
-      neighbor_indices: (B, M, H) with N meaning "no neighbor".
+      neighbor_indices: (B, M, H) with N meaning "no neighbor";
+      optionally a precomputed ``influence`` from :func:`kernel_influence`.
     Output: (B, M, out_channels).
     """
 
@@ -61,12 +92,9 @@ class KPConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
         cin = s_feats.shape[-1]
         k = self.kernel_size
-        n = s_feats.shape[-2]
-
-        kp = jnp.asarray(load_kernel_points(self.radius, k, 3))  # (K, 3)
 
         # torch kaiming_uniform(a=sqrt(5)) on a (K, Cin, Cout) tensor
         fan_in = cin * self.out_channels
@@ -77,23 +105,10 @@ class KPConv(nn.Module):
             (k, cin, self.out_channels),
         )
 
-        valid = neighbor_indices < n  # (B, M, H)
-        nbr_pts = gather_neighbors(s_points, neighbor_indices)  # (B, M, H, 3)
-        offsets = nbr_pts - q_points[..., None, :]  # (B, M, H, 3)
-
-        # squared dist to each kernel point via the matmul identity: keeps the
-        # (B,M,H,K,3) difference tensor out of HBM (it would be ~0.5 GB at
-        # KITTI scale if materialized like the reference's kpconv.py:97).
-        cross = jnp.einsum(
-            "bmhd,kd->bmhk", offsets, kp, precision=jax.lax.Precision.HIGHEST
-        )
-        sq = (
-            jnp.sum(offsets**2, axis=-1, keepdims=True)
-            + jnp.sum(kp**2, axis=-1)[None, None, None, :]
-            - 2.0 * cross
-        )
-        influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 0.0)) / self.sigma, 0.0)
-        influence = jnp.where(valid[..., None], influence, 0.0)  # (B, M, H, K)
+        if influence is None:
+            influence = kernel_influence(
+                q_points, s_points, neighbor_indices, self.radius, self.sigma, k
+            )
 
         # bf16 path: casting the gathered features halves the dominant HBM
         # traffic of the whole branch (the (B,M,H,C) neighbor tensor), and
@@ -163,11 +178,11 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices)
+        )(s_feats, q_points, s_points, neighbor_indices, influence)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
 
@@ -186,14 +201,14 @@ class ResidualBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
         mid = self.out_channels // 4
 
         x = s_feats
         if self.in_channels != mid:
             x = UnaryBlock(mid, self.norm, self.group_norm, dtype=self.dtype, name="unary1")(x)
         x = KPConv(mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype, name="KPConv")(
-            x, q_points, s_points, neighbor_indices
+            x, q_points, s_points, neighbor_indices, influence
         )
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
@@ -245,11 +260,12 @@ class KPConvFPN(nn.Module):
         kw = dict(norm=self.norm, group_norm=self.group_norm, dtype=self.dtype)
 
         enc = {}
+        inf0 = kernel_influence(points[0], points[0], neighbors[0], r, s, ks)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw)(
-            feats, points[0], points[0], neighbors[0]
+            feats, points[0], points[0], neighbors[0], inf0
         )
         x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw)(
-            x, points[0], points[0], neighbors[0]
+            x, points[0], points[0], neighbors[0], inf0
         )
         enc[1] = x
 
@@ -262,6 +278,10 @@ class KPConvFPN(nn.Module):
         ]
         for stage, cin, cout in stage_specs:
             lvl = stage - 1
+            inf_self = kernel_influence(
+                points[lvl], points[lvl], neighbors[lvl],
+                r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,
+            )
             x = ResidualBlock(
                 cin,
                 cin,
@@ -280,7 +300,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
                 **kw,
-            )(x, points[lvl], points[lvl], neighbors[lvl])
+            )(x, points[lvl], points[lvl], neighbors[lvl], inf_self)
             x = ResidualBlock(
                 cout,
                 cout,
@@ -289,7 +309,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
                 **kw,
-            )(x, points[lvl], points[lvl], neighbors[lvl])
+            )(x, points[lvl], points[lvl], neighbors[lvl], inf_self)
             enc[stage] = x
 
         latent = enc[5]

@@ -30,13 +30,39 @@ import jax.numpy as jnp
 from cofii2p_tpu.ops.knn import knn
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "neighbor_num", "approx"))
+def morton_order(points: jax.Array, voxel: float = 0.4) -> jax.Array:
+    """Permutation sorting points along a Z-order (Morton) curve.
+
+    Spatially local points get nearby indices, so the kNN index maps become
+    near-diagonal and the KPConv neighbor gathers — the branch's bandwidth
+    bottleneck on TPU — hit HBM with locality instead of randomly.
+    Any permutation of a level is semantically equivalent (all downstream
+    consumers go through the index maps built afterwards).
+    """
+    lo = jnp.min(points, axis=0)
+    q = jnp.clip(((points - lo) / voxel).astype(jnp.int32), 0, (1 << 10) - 1)
+
+    def spread(v):  # interleave 10 bits with 2-bit gaps
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.argsort(code)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sizes", "neighbor_num", "approx", "upsample_k")
+)
 def build_pyramid(
     points: jax.Array,
     rng: jax.Array,
     sizes: Sequence[int],
     neighbor_num: int = 128,
     approx: bool = True,
+    upsample_k: int = 8,
 ) -> dict:
     """Build the point pyramid + neighbor maps for one sample.
 
@@ -58,25 +84,38 @@ def build_pyramid(
     assert points.shape[0] == sizes[0], (points.shape, sizes)
     num_stages = len(sizes)
 
-    points_list = [points]
+    perm0 = morton_order(points)
+    points_list = [jnp.take(points, perm0, axis=0)]
     for lvl in range(1, num_stages):
         rng, sub = jax.random.split(rng)
         prev = points_list[-1]
         perm = jax.random.permutation(sub, prev.shape[0])[: sizes[lvl]]
-        points_list.append(jnp.take(prev, perm, axis=0))
+        sub_pts = jnp.take(prev, perm, axis=0)
+        points_list.append(jnp.take(sub_pts, morton_order(sub_pts), axis=0))
 
     neighbors_list = []
     subsampling_list = []
     upsampling_list = []
     for lvl in range(num_stages):
         cur = points_list[lvl]
-        neighbors_list.append(knn(cur, cur, neighbor_num, approx=approx))
+        # KPConv's neighbor aggregation and the maxpool shortcut are
+        # order-invariant, so the self/subsampling maps are re-sorted by
+        # *index* (ascending): with Morton-ordered levels this makes the
+        # gather access pattern monotone and band-local.  The upsampling
+        # maps keep distance order — their consumers (nearest_upsample,
+        # knn_interpolate) rely on column 0 being the nearest.
+        neighbors_list.append(jnp.sort(knn(cur, cur, neighbor_num, approx=approx), axis=-1))
         if lvl < num_stages - 1:
             sub = points_list[lvl + 1]
             # queries at the coarse level, database at the fine level
-            subsampling_list.append(knn(sub, cur, neighbor_num, approx=approx))
-            # queries at the fine level, database at the coarse level
-            upsampling_list.append(knn(cur, sub, neighbor_num, approx=approx))
+            subsampling_list.append(
+                jnp.sort(knn(sub, cur, neighbor_num, approx=approx), axis=-1)
+            )
+            # queries at the fine level, database at the coarse level; the
+            # consumers (nearest_upsample col 0, knn_interpolate first 3)
+            # never read past a few columns, so k is small here (the
+            # reference computes 128, preprocess_data.py:97 — pure waste)
+            upsampling_list.append(knn(cur, sub, upsample_k, approx=approx))
 
     return {
         "points": points_list,
@@ -84,6 +123,9 @@ def build_pyramid(
         "neighbors": neighbors_list,
         "subsampling": subsampling_list,
         "upsampling": upsampling_list,
+        # level-0 Morton permutation: callers must realign per-point
+        # attributes (feats) with jnp.take(attrs, perm0, axis=0)
+        "perm0": perm0,
     }
 
 

@@ -22,8 +22,13 @@ import numpy as np
 
 
 def _sync(out) -> None:
+    # Readback must be tiny: the TPU tunnel moves data slowly, so pulling a
+    # whole activation would swamp the measurement.  Reduce on device first,
+    # then read back one scalar — still a hard barrier on the computation.
     leaf = jax.tree.leaves(out)[0]
-    np.asarray(leaf)  # device->host readback == hard barrier
+    import jax.numpy as jnp
+
+    np.asarray(jnp.sum(leaf))
 
 
 def timeit_sync(fn: Callable, *args, warmup: int = 2, iters: int = 10, **kw) -> float:
