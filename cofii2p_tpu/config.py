@@ -69,6 +69,8 @@ class Config:
     d_model: int = 128
     nhead: int = 4
     num_transformer_layers: int = 4  # x ('self','cross') pairs = 8 layers
+    attention: str = "full"  # 'full' | 'linear' (reference ATTENTION option)
+    img_backbone: str = "resnet34"  # 'resnet34' | 'resnet18'
     kpconv_input_dim: int = 4
     kpconv_init_dim: int = 64
     kpconv_output_dim: int = 64

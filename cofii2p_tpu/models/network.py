@@ -114,7 +114,12 @@ class CoFiI2P(nn.Module):
             dtype=dtype,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)
-        img_feature_set = ResNetEncoder(dtype=dtype, name="img_encoder")(img)
+        stage_sizes = {"resnet34": (3, 4, 6, 3), "resnet18": (2, 2, 2, 2)}[
+            cfg.img_backbone
+        ]
+        img_feature_set = ResNetEncoder(
+            stage_sizes=stage_sizes, dtype=dtype, name="img_encoder"
+        )(img)
 
         pc_fine = l2norm(pc_feature_set[0])  # (B, N1, 64) fine matching feats
         pc_latent = pc_feature_set[-1]  # (B, S, 2048)
@@ -139,6 +144,7 @@ class CoFiI2P(nn.Module):
             nhead=cfg.nhead,
             layer_names=("self", "cross") * cfg.num_transformer_layers,
             dtype=dtype,
+            attention=cfg.attention,
             name="transformer",
         )(img_tokens.astype(dtype), pc_tokens.astype(dtype))
         img_mid_map = img_mid.reshape(b, h8, w8, cfg.d_model)

@@ -25,10 +25,34 @@ import jax.numpy as jnp
 from cofii2p_tpu.models.layers import xavier_init
 
 
+def full_attention(q, k, v):
+    """Softmax attention over (B, L/S, H, D) tensors
+    (reference linear_attention.py:50-78)."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "blhd,bshd->blsh", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(d))
+    attn = jax.nn.softmax(logits, axis=2)
+    return jnp.einsum("blsh,bshd->blhd", attn, v, preferred_element_type=jnp.float32)
+
+
+def linear_attention(q, k, v, eps: float = 1e-6):
+    """elu+1 feature-map linear attention, the reference's ATTENTION='linear'
+    option (linear_attention.py:14-47, after Katharopoulos et al. 2020)."""
+    qf = jax.nn.elu(q.astype(jnp.float32)) + 1.0
+    kf = jax.nn.elu(k.astype(jnp.float32)) + 1.0
+    s = v.shape[1]
+    v = v.astype(jnp.float32) / s  # overflow guard kept from the reference
+    kv = jnp.einsum("bshd,bshv->bhdv", kf, v)
+    z = 1.0 / (jnp.einsum("blhd,bhd->blh", qf, jnp.sum(kf, axis=1)) + eps)
+    return jnp.einsum("blhd,bhdv,blh->blhv", qf, kv, z) * s
+
+
 class LoFTREncoderLayer(nn.Module):
     d_model: int = 128
     nhead: int = 4
     dtype: Any = jnp.float32
+    attention: str = "full"
 
     @nn.compact
     def __call__(self, x: jax.Array, source: jax.Array) -> jax.Array:
@@ -49,13 +73,8 @@ class LoFTREncoderLayer(nn.Module):
         q32 = q.astype(jnp.float32)
         q = (q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-12)).astype(q.dtype)
 
-        logits = jnp.einsum(
-            "blhd,bshd->blsh", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.float32(d))
-        attn = jax.nn.softmax(logits, axis=2)
-        message = jnp.einsum(
-            "blsh,bshd->blhd", attn, v, preferred_element_type=jnp.float32
-        ).reshape(b, l, c)
+        attend = full_attention if self.attention == "full" else linear_attention
+        message = attend(q, k, v).reshape(b, l, c)
 
         message = dense("merge")(message.astype(self.dtype))
         message = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(message)
@@ -76,12 +95,16 @@ class LocalFeatureTransformer(nn.Module):
     nhead: int = 4
     layer_names: Sequence[str] = ("self", "cross") * 4
     dtype: Any = jnp.float32
+    attention: str = "full"  # 'full' | 'linear' (reference ATTENTION option)
 
     @nn.compact
     def __call__(self, feat0: jax.Array, feat1: jax.Array):
         assert feat0.shape[-1] == self.d_model
         for i, name in enumerate(self.layer_names):
-            layer = LoFTREncoderLayer(self.d_model, self.nhead, dtype=self.dtype, name=f"layer{i}")
+            layer = LoFTREncoderLayer(
+                self.d_model, self.nhead, dtype=self.dtype,
+                attention=self.attention, name=f"layer{i}",
+            )
             if name == "self":
                 feat0 = layer(feat0, feat0)
                 feat1 = layer(feat1, feat1)
