@@ -52,7 +52,7 @@ class LoFTREncoderLayer(nn.Module):
     d_model: int = 128
     nhead: int = 4
     dtype: Any = jnp.float32
-    attention: str = "full"
+    attention: str = "full"  # 'full' | 'linear' | 'pallas' (fused TPU kernel)
 
     @nn.compact
     def __call__(self, x: jax.Array, source: jax.Array) -> jax.Array:
@@ -73,8 +73,15 @@ class LoFTREncoderLayer(nn.Module):
         q32 = q.astype(jnp.float32)
         q = (q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-12)).astype(q.dtype)
 
-        attend = full_attention if self.attention == "full" else linear_attention
-        message = attend(q, k, v).reshape(b, l, c)
+        if self.attention == "pallas":
+            from cofii2p_tpu.ops.attention_kernel import fused_attention
+
+            message = fused_attention(q, k, v)
+        elif self.attention == "linear":
+            message = linear_attention(q, k, v)
+        else:
+            message = full_attention(q, k, v)
+        message = message.reshape(b, l, c)
 
         message = dense("merge")(message.astype(self.dtype))
         message = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(message)

@@ -66,3 +66,29 @@ def test_resnet18_backbone():
         v, batch, mode="val", train=False
     )
     assert out["pc_feature_norm"].shape == (1, cfg.num_superpoints, 128)
+
+
+def test_pallas_attention_matches_xla_interpret():
+    """The fused attention kernel equals the einsum path (interpret mode on
+    CPU; the real TPU path is exercised by the perf drives)."""
+    from unittest import mock
+    import jax.experimental.pallas as pl
+    from cofii2p_tpu.ops import attention_kernel as ak
+    from cofii2p_tpu.models.transformer import full_attention
+
+    rng = np.random.RandomState(2)
+    B, L, S, H, D = 1, 256, 128, 2, 32
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(ak.pl, "pallas_call", interp):
+        got = ak.fused_attention.__wrapped__(q, k, v, q_tile=128)
+    want = full_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
