@@ -16,7 +16,7 @@ functional.py), re-designed batch-first for TPU:
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -3,9 +3,8 @@
 CLI-compatible with the reference entry point (``python -m train kitti
 [--ft_from ckpt]``, /root/reference/train.py:110-124) plus:
 ``--synthetic`` (no dataset on disk needed), ``--steps`` (cap for smokes),
-``--batch_size``/``--dp`` (data parallelism over the device mesh — absent in
-the reference, which is single-GPU batch-1), and ``key=value`` config
-overrides.
+``--batch_size`` (data parallelism over the device mesh — absent in the
+reference, which is single-GPU batch-1), and ``key=value`` config overrides.
 """
 
 from __future__ import annotations
@@ -13,7 +12,6 @@ from __future__ import annotations
 import argparse
 import datetime
 import os
-import sys
 
 import jax
 import numpy as np
