@@ -52,6 +52,10 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=0, help="global batch")
     parser.add_argument("--synthetic_frames", type=int, default=64)
     parser.add_argument("--ckpt_every_steps", type=int, default=0)
+    parser.add_argument(
+        "--ckpt_every_epochs", type=int, default=1,
+        help="save cadence in epochs (reference saves every epoch)",
+    )
     parser.add_argument("overrides", nargs="*", help="config key=value overrides")
     args = parser.parse_args(argv)
 
@@ -137,8 +141,9 @@ def main(argv=None):
             if args.steps and global_step >= args.steps:
                 stop = True
                 break
-        path = save_checkpoint(save_dir, global_step, state)
-        logger.info("saved %s", path)
+        if stop or (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0:
+            path = save_checkpoint(save_dir, global_step, state)
+            logger.info("saved %s", path)
         if stop:
             break
     writer.close()
