@@ -86,3 +86,36 @@ def test_lr_schedule():
     assert train_lib.lr_for_epoch(cfg, 0) == cfg.lr
     assert train_lib.lr_for_epoch(cfg, 5) == cfg.lr * 0.25
     assert train_lib.lr_for_epoch(cfg, 24) == cfg.min_lr
+
+
+def test_dp_sharded_step_matches_single_device(setup):
+    """The 8-way sharded train step must agree with the unsharded step on the
+    same batch: identical loss terms and gradient norm (XLA's inserted
+    all-reduce changes only summation order).  Parameter-level equality is
+    NOT asserted: Adam's first step is ~lr*sign(grad), which amplifies
+    reduction-order noise on near-zero gradients into +-lr sign flips."""
+    cfg, model, tx, make_state, _ = setup
+    ds = SyntheticDataset(cfg, "train", 8)
+    host8 = _collate([ds[i] for i in range(8)])
+    host8.pop("index")
+
+    step = train_lib.make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(9)
+
+    s_single = make_state()
+    out_single, m_single = step(s_single, jax.tree.map(jnp.asarray, host8), rng)
+
+    mesh = make_mesh()
+    s_shard = make_state()
+    out_shard, m_shard = step(s_shard, shard_host_batch(host8, mesh), rng)
+
+    for key in ("loss", "loss_desc", "loss_coarse", "loss_fine", "grad_norm"):
+        np.testing.assert_allclose(
+            float(m_single[key]), float(m_shard[key]), rtol=1e-4, err_msg=key
+        )
+    # updated params stay replicated and finite
+    leaf = jax.tree.leaves(out_shard.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    assert all(
+        bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out_shard.params)
+    )
