@@ -116,3 +116,29 @@ def test_batch_loader_shapes_and_order():
     # determinism: same epoch -> same batches
     again = list(loader.epoch(0))
     np.testing.assert_allclose(batches[0]["pc"], again[0]["pc"])
+
+
+def test_kitti_utils_roundtrip_and_crop():
+    from cofii2p_tpu.data.kitti_utils import (
+        cam_to_nwu,
+        crop_pc_to_image,
+        fps_approximate,
+        nwu_to_cam,
+        project_points_to_image,
+    )
+
+    rng = np.random.RandomState(0)
+    pc = rng.randn(100, 3).astype(np.float32)
+    np.testing.assert_allclose(nwu_to_cam(cam_to_nwu(pc)), pc)
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 16], [0, 0, 1]], np.float32)
+    cam = np.array([[0, 0, 5.0], [0, 0, -5.0], [50, 0, 5.0]], np.float32)
+    kept, _, mask = crop_pc_to_image(cam, None, (32, 64), K)
+    np.testing.assert_array_equal(mask, [True, False, False])
+
+    img = np.zeros((32, 64, 3), np.float32)
+    out = project_points_to_image(img, cam, K)
+    assert out[16, 32, 0] > 0  # the center point was splatted
+
+    sampled = fps_approximate(rng.randn(500, 3).astype(np.float32) * 10, 1.0, 16)
+    assert sampled.shape == (16, 3)
