@@ -13,7 +13,7 @@ weights (same cost profile).
 from __future__ import annotations
 
 import argparse
-import time
+
 
 import jax
 import numpy as np
@@ -27,13 +27,11 @@ from cofii2p_tpu import train_lib
 
 
 def timed(fn, *a, warmup=3, iters=10, **kw):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*a, **kw))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*a, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # hard-sync timing (see utils/profiling: block_until_ready is not a
+    # reliable barrier on tunneled TPU backends)
+    from cofii2p_tpu.utils.profiling import timeit_sync
+
+    return timeit_sync(fn, *a, warmup=warmup, iters=iters, **kw)
 
 
 def main(argv=None):
