@@ -78,6 +78,15 @@ class Config:
     init_radius: float = 4.25 * 0.1
     init_sigma: float = 2.0 * 0.1
 
+    # KPConv neighbor aggregation (ops/banded.py):
+    #  'gather' — reference-parity kNN(neighbor_num) maps + row gathers;
+    #  'banded' — gather-free banded radius neighborhoods over the Morton
+    #             order (TPU-native; needs no kNN maps at all, so sample
+    #             prep skips every neighbor search too).
+    kpconv_impl: str = "gather"
+    kpconv_tile: int = 128
+    kpconv_band_width: int = 1024
+
     # training (reference: options.py:45-59)
     epoch: int = 25
     train_batch_size: int = 1

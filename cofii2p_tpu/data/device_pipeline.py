@@ -62,7 +62,13 @@ def _prepare_one(
     else:
         feats = jnp.concatenate([attrs[:, :1], pc_w], axis=-1)
 
-    pyr = build_pyramid(pc_w, r_pyr, cfg.pyramid_sizes, cfg.neighbor_num)
+    pyr = build_pyramid(
+        pc_w,
+        r_pyr,
+        cfg.pyramid_sizes,
+        cfg.neighbor_num,
+        need_maps=cfg.kpconv_impl != "banded",
+    )
     feats = jnp.take(feats, pyr["perm0"], axis=0)  # realign to Morton order
     superpoints = pyr["points"][-1]  # (S, 3)
 
@@ -124,11 +130,8 @@ def _prepare_one(
 
     fine_pc_inline_index = point2node(pyr["points"][1], superpoints[pc_kpt_idx])
 
-    return {
+    out = {
         "points": pyr["points"],
-        "neighbors": pyr["neighbors"],
-        "subsampling": pyr["subsampling"],
-        "upsampling": pyr["upsampling"],
         "feats": feats,
         "P": jnp.linalg.inv(P),  # GT pose, like the reference contract (kitti.py:379)
         "K": K2,
@@ -144,6 +147,10 @@ def _prepare_one(
         "relative_index": relative_index,
         "fine_pc_inline_index": fine_pc_inline_index,
     }
+    for key in ("neighbors", "subsampling", "upsampling"):
+        if key in pyr:
+            out[key] = pyr[key]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "has_normals"))

@@ -25,6 +25,12 @@ import numpy as np
 
 from cofii2p_tpu.models.kernel_points import load_kernel_points
 from cofii2p_tpu.models.layers import Linear, leaky_relu, norm_factory
+from cofii2p_tpu.ops.banded import (
+    banded_kpconv_aggregate,
+    banded_maxpool,
+    banded_nearest_index,
+    kernel_reach,
+)
 from cofii2p_tpu.ops.geometry import gather_neighbors
 
 
@@ -82,6 +88,12 @@ class KPConv(nn.Module):
       neighbor_indices: (B, M, H) with N meaning "no neighbor";
       optionally a precomputed ``influence`` from :func:`kernel_influence`.
     Output: (B, M, out_channels).
+
+    ``impl='banded'`` switches the neighbor aggregation to the gather-free
+    banded radius path (ops/banded.py): neighbor_indices/influence are
+    ignored (may be None) and the neighborhood becomes "in-band points
+    within kernel reach" with in-radius count normalization.  Parameters are
+    identical between the two paths.
     """
 
     out_channels: int
@@ -90,9 +102,12 @@ class KPConv(nn.Module):
     sigma: float = 0.2
     use_bias: bool = True
     dtype: Any = jnp.float32
+    impl: str = "gather"
+    tile: int = 128
+    band_width: int = 1024
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
         cin = s_feats.shape[-1]
         k = self.kernel_size
 
@@ -104,6 +119,31 @@ class KPConv(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (k, cin, self.out_channels),
         )
+
+        if self.impl == "banded":
+            weighted, count = jax.vmap(
+                lambda f, q, s: banded_kpconv_aggregate(
+                    f, q, s, self.radius, self.sigma, k,
+                    self.tile, self.band_width, self.dtype,
+                )
+            )(s_feats, q_points, s_points)
+            out = jnp.einsum(
+                "bmkc,kcd->bmd",
+                weighted.astype(self.dtype),
+                weights.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = out / count[..., None].astype(out.dtype)
+            if self.use_bias:
+                bias = self.param(
+                    "bias",
+                    lambda key, shape: jax.random.uniform(
+                        key, shape, jnp.float32, -bound, bound
+                    ),
+                    (self.out_channels,),
+                )
+                out = out + bias
+            return out
 
         if influence is None:
             influence = kernel_influence(
@@ -176,12 +216,16 @@ class ConvBlock(nn.Module):
     norm: str = "gn"
     group_norm: int = 32
     dtype: Any = jnp.float32
+    impl: str = "gather"
+    tile: int = 128
+    band_width: int = 1024
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
-            dtype=self.dtype, name="KPConv",
+            dtype=self.dtype, impl=self.impl, tile=self.tile,
+            band_width=self.band_width, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices, influence)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
@@ -199,17 +243,21 @@ class ResidualBlock(nn.Module):
     group_norm: int = 32
     strided: bool = False
     dtype: Any = jnp.float32
+    impl: str = "gather"
+    tile: int = 128
+    band_width: int = 1024
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
         mid = self.out_channels // 4
 
         x = s_feats
         if self.in_channels != mid:
             x = UnaryBlock(mid, self.norm, self.group_norm, dtype=self.dtype, name="unary1")(x)
-        x = KPConv(mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype, name="KPConv")(
-            x, q_points, s_points, neighbor_indices, influence
-        )
+        x = KPConv(
+            mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype,
+            impl=self.impl, tile=self.tile, band_width=self.band_width, name="KPConv",
+        )(x, q_points, s_points, neighbor_indices, influence)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
@@ -218,7 +266,15 @@ class ResidualBlock(nn.Module):
         )(x)
 
         if self.strided:
-            shortcut = neighbor_maxpool(s_feats, neighbor_indices)
+            if self.impl == "banded":
+                r_active = kernel_reach(self.radius, self.sigma, self.kernel_size)
+                shortcut = jax.vmap(
+                    lambda f, q, s: banded_maxpool(
+                        f, q, s, r_active, self.tile, self.band_width
+                    )
+                )(s_feats, q_points, s_points)
+            else:
+                shortcut = neighbor_maxpool(s_feats, neighbor_indices)
         else:
             shortcut = s_feats
         if self.in_channels != self.out_channels:
@@ -252,20 +308,32 @@ class KPConvFPN(nn.Module):
     norm: str = "gn"
     group_norm: int = 32
     dtype: Any = jnp.float32
+    impl: str = "gather"
+    tile: int = 128
+    band_width: int = 1024
 
     @nn.compact
-    def __call__(self, feats, points, neighbors, subsampling, upsampling):
+    def __call__(self, feats, points, neighbors=None, subsampling=None, upsampling=None):
         d, ks = self.init_dim, self.kernel_size
         r, s = self.init_radius, self.init_sigma
-        kw = dict(norm=self.norm, group_norm=self.group_norm, dtype=self.dtype)
+        banded = self.impl == "banded"
+        kw = dict(
+            norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
+            impl=self.impl, tile=self.tile, band_width=self.band_width,
+        )
 
         enc = {}
-        inf0 = kernel_influence(points[0], points[0], neighbors[0], r, s, ks)
+        nbr0 = None if banded else neighbors[0]
+        inf0 = (
+            None
+            if banded
+            else kernel_influence(points[0], points[0], nbr0, r, s, ks)
+        )
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw)(
-            feats, points[0], points[0], neighbors[0], inf0
+            feats, points[0], points[0], nbr0, inf0
         )
         x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw)(
-            x, points[0], points[0], neighbors[0], inf0
+            x, points[0], points[0], nbr0, inf0
         )
         enc[1] = x
 
@@ -278,9 +346,15 @@ class KPConvFPN(nn.Module):
         ]
         for stage, cin, cout in stage_specs:
             lvl = stage - 1
-            inf_self = kernel_influence(
-                points[lvl], points[lvl], neighbors[lvl],
-                r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,
+            nbr = None if banded else neighbors[lvl]
+            sub = None if banded else subsampling[lvl - 1]
+            inf_self = (
+                None
+                if banded
+                else kernel_influence(
+                    points[lvl], points[lvl], nbr,
+                    r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,
+                )
             )
             x = ResidualBlock(
                 cin,
@@ -291,7 +365,7 @@ class KPConvFPN(nn.Module):
                 strided=True,
                 name=f"encoder{stage}_1",
                 **kw,
-            )(x, points[lvl], points[lvl - 1], subsampling[lvl - 1])
+            )(x, points[lvl], points[lvl - 1], sub)
             x = ResidualBlock(
                 cin,
                 cout,
@@ -300,7 +374,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
                 **kw,
-            )(x, points[lvl], points[lvl], neighbors[lvl], inf_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self)
             x = ResidualBlock(
                 cout,
                 cout,
@@ -309,19 +383,31 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
                 **kw,
-            )(x, points[lvl], points[lvl], neighbors[lvl], inf_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self)
             enc[stage] = x
 
+        def upsample(feats_coarse, lvl):
+            # fine queries at level lvl, support at level lvl+1
+            if banded:
+                idx = jax.vmap(
+                    lambda q, sp: banded_nearest_index(
+                        q, sp, self.tile, self.band_width
+                    )
+                )(points[lvl], points[lvl + 1])
+                return jnp.take_along_axis(feats_coarse, idx[..., None], axis=-2)
+            return nearest_upsample(feats_coarse, upsampling[lvl])
+
+        kw2 = dict(norm=self.norm, group_norm=self.group_norm, dtype=self.dtype)
         latent = enc[5]
-        up4 = nearest_upsample(latent, upsampling[3])
-        up4 = UnaryBlock(d * 16, name="decoder4", **kw)(
+        up4 = upsample(latent, 3)
+        up4 = UnaryBlock(d * 16, name="decoder4", **kw2)(
             jnp.concatenate([up4, enc[4]], axis=-1)
         )
-        up3 = nearest_upsample(up4, upsampling[2])
-        up3 = UnaryBlock(d * 8, name="decoder3", **kw)(
+        up3 = upsample(up4, 2)
+        up3 = UnaryBlock(d * 8, name="decoder3", **kw2)(
             jnp.concatenate([up3, enc[3]], axis=-1)
         )
-        up2 = nearest_upsample(up3, upsampling[1])
+        up2 = upsample(up3, 1)
         up2 = Linear(self.output_dim, dtype=self.dtype, name="decoder2")(
             jnp.concatenate([up2, enc[2]], axis=-1)
         )

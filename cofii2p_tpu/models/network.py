@@ -94,9 +94,9 @@ class CoFiI2P(nn.Module):
         img = batch["img"]  # (B, H, W, 3)
         feats = batch["feats"]  # (B, N0, 4)
         points = batch["points"]  # list of (B, N_l, 3)
-        neighbors = batch["neighbors"]
-        subsampling = batch["subsampling"]
-        upsampling = batch["upsampling"]
+        neighbors = batch.get("neighbors")  # absent in banded mode
+        subsampling = batch.get("subsampling")
+        upsampling = batch.get("upsampling")
         b = img.shape[0]
         h8, w8 = cfg.pe_H, cfg.pe_W
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -112,6 +112,9 @@ class CoFiI2P(nn.Module):
             norm=cfg.norm,
             group_norm=cfg.group_norm,
             dtype=dtype,
+            impl=cfg.kpconv_impl,
+            tile=cfg.kpconv_tile,
+            band_width=cfg.kpconv_band_width,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)
         stage_sizes = {"resnet34": (3, 4, 6, 3), "resnet18": (2, 2, 2, 2)}[

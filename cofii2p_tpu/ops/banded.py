@@ -1,0 +1,296 @@
+"""Banded radius-neighborhood aggregation — the TPU-native KPConv path.
+
+The reference implements point convolutions as kNN(k=128) index maps built on
+CPU (/root/reference/model/kpconv/preprocess_data.py:74-99) followed by
+per-row neighbor gathers on GPU (kpconv.py:92/104).  On TPU the gathers are
+the whole cost: random-access row gathers run at ~8 ns/row regardless of
+dtype (PERF.md), and the FPN issues ~20M of them per frame.
+
+This module removes the gathers (and the kNN maps) entirely by exploiting
+two facts:
+
+1. every pyramid level is Morton (Z-order) sorted (ops/pyramid.py), so the
+   points within a convolution's influence radius of a *contiguous tile of
+   queries* sit — almost surely — inside a *contiguous index band* of the
+   support level;
+2. KPConv's kernel-point influence is exactly zero beyond
+   ``max_k |kp_k| + sigma`` (the linear correlation hits 0 at distance sigma
+   from each kernel point, reference kpconv.py:97-100), so a *radius*
+   neighborhood reproduces the math of the reference's kNN neighborhood for
+   every neighbor that matters — the reference's k=128 is itself an
+   approximation of the radius neighborhoods of the original KPConv paper.
+
+So each query tile loads one contiguous band of support points/features with
+``lax.dynamic_slice`` (a block copy, not a gather), computes the influence of
+every band point on the fly from coordinates, and contracts influence x
+features on the MXU.  Everything is static-shape and scan-based; there is no
+index map anywhere.
+
+Semantics (documented deviation from the reference, not silently different):
+ - neighborhood = {support points within r_active of the query AND within the
+   index band} instead of the 128 nearest.  Points missed by the band are
+   the Morton curve's discontinuities; `band_coverage` measures the lost
+   influence mass (~0 at practical band widths, tests + PERF.md).
+ - the "active neighbor" normalization count (reference kpconv.py:113-116
+   counts gathered rows with feature-sum > 0, i.e. nearly always all 128)
+   becomes the in-radius count — a density normalization.  Models trained
+   with one path should be evaluated with the same path; the gather path
+   remains the default for reference-checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_kernel_points(radius: float, kernel_size: int):
+    # lazy import: models.kpconv imports this module (circular otherwise)
+    from cofii2p_tpu.models.kernel_points import load_kernel_points
+
+    return np.asarray(load_kernel_points(radius, kernel_size, 3))
+
+
+def kernel_reach(radius: float, sigma: float, kernel_size: int = 15) -> float:
+    """Max distance at which any kernel point has nonzero influence."""
+    kp = _load_kernel_points(radius, kernel_size)
+    return float(np.linalg.norm(kp, axis=-1).max() + sigma)
+
+
+def _band_geometry(num_q: int, num_s: int, tile: int, band_width: int):
+    """Static banding plan: tile size, tile count, band size.
+
+    Returns (tile, num_tiles, band, dense) where dense=True means the band
+    spans the whole support level (no slicing needed).
+    """
+    tile = min(tile, num_q)
+    while num_q % tile:  # static shapes only; levels are powers of two
+        tile //= 2
+    num_tiles = num_q // tile
+    span = -(-tile * num_s // num_q)  # tile's span in support indices
+    band = span + 2 * band_width
+    if band >= num_s:
+        return tile, num_tiles, num_s, True
+    return tile, num_tiles, band, False
+
+
+def _band_start(t, tile: int, num_q: int, num_s: int, band: int):
+    """Start index of tile t's support band (centered, edge-clipped).
+
+    Both levels follow the same Morton curve, so query index i corresponds
+    to support index ~ i * num_s / num_q (levels are random subsets of a
+    common ordering).
+    """
+    center = ((2 * t * tile + tile) * num_s) // (2 * num_q)
+    return jnp.clip(center - band // 2, 0, num_s - band)
+
+
+def _influence(offsets: jax.Array, kp: jax.Array, sigma: float):
+    """Linear-correlation influence of each kernel point at each offset.
+
+    offsets: (..., 3); returns (..., K) plus the squared distance (...,).
+    Same math as the reference kpconv.py:95-100 / models.kpconv.kernel_influence,
+    with the (..., K, 3) difference tensor avoided via the matmul identity.
+    """
+    d2 = jnp.sum(offsets * offsets, axis=-1)
+    cross = jnp.einsum(
+        "...d,kd->...k", offsets, kp, precision=jax.lax.Precision.HIGHEST
+    )
+    sqk = d2[..., None] - 2.0 * cross + jnp.sum(kp * kp, axis=-1)
+    infl = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sqk, 0.0)) / sigma, 0.0)
+    return infl, d2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "sigma", "kernel_size", "tile", "band_width", "dtype")
+)
+def banded_kpconv_aggregate(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    tile: int = 128,
+    band_width: int = 1024,
+    dtype=jnp.float32,
+):
+    """Influence-weighted neighbor aggregation without gathers.
+
+    Computes, for each query m and kernel point k:
+        weighted[m, k, c] = sum_j infl_k(q_m, s_j) * s_feats[j, c]
+    over support points j within the index band and within kernel reach,
+    plus count[m] = |{j in band : d(q_m, s_j) <= r_active}| (>=1).
+
+    Args:
+      s_feats: (N, C) support features (any float dtype).
+      q_points / s_points: (M, 3) / (N, 3) Morton-ordered coordinates.
+      radius, sigma, kernel_size: KPConv geometry (sets kernel reach).
+      tile: queries per band window (static).
+      band_width: support half-band beyond the tile's own span (static).
+      dtype: einsum compute dtype (bf16 halves the influence-tensor traffic;
+        accumulation stays fp32).
+
+    Returns:
+      weighted (M, K, C) fp32, count (M,) int32.
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    c = s_feats.shape[-1]
+    kp = jnp.asarray(_load_kernel_points(radius, kernel_size), jnp.float32)
+    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+
+    def aggregate(q, p, f):
+        # q (T,3), p (band,3), f (band,C)
+        offs = p[None, :, :] - q[:, None, :]  # (T, band, 3)
+        infl, d2 = _influence(offs, kp, sigma)  # (T, band, K), (T, band)
+        within = d2 <= r2
+        infl = jnp.where(within[..., None], infl, 0.0)
+        count = jnp.maximum(jnp.sum(within, axis=-1), 1)  # (T,)
+        weighted = jnp.einsum(
+            "tbk,bc->tkc",
+            infl.astype(dtype),
+            f.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return weighted, count.astype(jnp.int32)
+
+    if dense:
+        return aggregate(q_points, s_points, s_feats)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
+        return aggregate(q, p, f)
+
+    weighted, count = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    return weighted.reshape(m, kp.shape[0], c), count.reshape(m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_active", "tile", "band_width")
+)
+def banded_maxpool(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    r_active: float,
+    tile: int = 128,
+    band_width: int = 1024,
+):
+    """Max over in-radius band features (banded twin of neighbor_maxpool;
+    reference functional.py:53-66 maxes over the kNN rows instead).
+
+    Empty neighborhoods yield zeros, like the reference's shadow rows.
+    Returns (M, C) in the dtype of ``s_feats``.
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    c = s_feats.shape[-1]
+    r2 = r_active * r_active
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    neg = jnp.asarray(-jnp.inf, s_feats.dtype)
+
+    def pool(q, p, f):
+        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
+        within = d2 <= r2
+        out = jnp.max(jnp.where(within[..., None], f[None], neg), axis=1)
+        return jnp.where(jnp.any(within, axis=-1)[..., None], out, 0.0)
+
+    if dense:
+        return pool(q_points, s_points, s_feats)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
+        return pool(q, p, f)
+
+    out = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    return out.reshape(m, c)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "band_width"))
+def banded_nearest_index(
+    q_points: jax.Array,
+    s_points: jax.Array,
+    tile: int = 128,
+    band_width: int = 1024,
+):
+    """Index of each query's nearest support point, searched within the band.
+
+    Banded twin of the 1-NN ``upsampling`` map consumed by nearest_upsample
+    (reference functional.py:5-21, preprocess_data.py:97): the true nearest
+    neighbor is at ~point-spacing distance, which Morton order keeps inside
+    any practical band.  Returns (M,) int32 absolute indices into s_points.
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+
+    def nearest(q, p, start):
+        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        return (jnp.argmin(d2, axis=-1) + start).astype(jnp.int32)
+
+    if dense:
+        return nearest(q_points, s_points, 0)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        return nearest(q, p, start)
+
+    out = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    return out.reshape(m)
+
+
+def band_coverage(
+    q_points: np.ndarray,
+    s_points: np.ndarray,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    tile: int = 128,
+    band_width: int = 1024,
+) -> dict:
+    """Diagnostic (NumPy, host): how much in-radius influence mass the band
+    captures.  Returns fractions in [0, 1]; 1.0 means the banded op is exactly
+    the full radius-neighborhood op on this cloud."""
+    q = np.asarray(q_points, np.float64)
+    s = np.asarray(s_points, np.float64)
+    m, n = len(q), len(s)
+    r = kernel_reach(radius, sigma, kernel_size)
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    if dense:
+        return {"pair_coverage": 1.0, "mass_coverage": 1.0, "band": band}
+
+    d2 = ((q[:, None, :] - s[None, :, :]) ** 2).sum(-1)  # (M, N)
+    within = d2 <= r * r
+    kp = _load_kernel_points(radius, kernel_size)
+    dk = np.sqrt(
+        np.maximum(
+            d2[..., None]
+            - 2.0 * (q[:, None, :] - s[None, :, :]) @ kp.T
+            + (kp**2).sum(-1),
+            0.0,
+        )
+    )
+    mass = np.maximum(1.0 - dk / sigma, 0.0).sum(-1) * within  # (M, N)
+
+    t_idx = np.arange(m) // tile
+    centers = ((2 * t_idx * tile + tile) * n) // (2 * m)
+    starts = np.clip(centers - band // 2, 0, n - band)
+    j = np.arange(n)[None, :]
+    in_band = (j >= starts[:, None]) & (j < starts[:, None] + band)
+
+    pairs = within.sum()
+    return {
+        "pair_coverage": float((within & in_band).sum() / max(pairs, 1)),
+        "mass_coverage": float((mass * in_band).sum() / max(mass.sum(), 1e-12)),
+        "band": band,
+    }

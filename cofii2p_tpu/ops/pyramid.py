@@ -54,7 +54,8 @@ def morton_order(points: jax.Array, voxel: float = 0.4) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sizes", "neighbor_num", "approx", "upsample_k")
+    jax.jit,
+    static_argnames=("sizes", "neighbor_num", "approx", "upsample_k", "need_maps"),
 )
 def build_pyramid(
     points: jax.Array,
@@ -63,6 +64,7 @@ def build_pyramid(
     neighbor_num: int = 128,
     approx: bool = True,
     upsample_k: int = 8,
+    need_maps: bool = True,
 ) -> dict:
     """Build the point pyramid + neighbor maps for one sample.
 
@@ -93,6 +95,19 @@ def build_pyramid(
         sub_pts = jnp.take(prev, perm, axis=0)
         points_list.append(jnp.take(sub_pts, morton_order(sub_pts), axis=0))
 
+    out = {
+        "points": points_list,
+        "lengths": list(sizes),
+        # level-0 Morton permutation: callers must realign per-point
+        # attributes (feats) with jnp.take(attrs, perm0, axis=0)
+        "perm0": perm0,
+    }
+    if not need_maps:
+        # banded KPConv (ops/banded.py) needs no index maps at all — the
+        # pyramid is just Morton-sorted levels; every neighbor search the
+        # reference runs on CPU workers (preprocess_data.py:74-99) vanishes.
+        return out
+
     neighbors_list = []
     subsampling_list = []
     upsampling_list = []
@@ -117,16 +132,10 @@ def build_pyramid(
             # reference computes 128, preprocess_data.py:97 — pure waste)
             upsampling_list.append(knn(cur, sub, upsample_k, approx=approx))
 
-    return {
-        "points": points_list,
-        "lengths": list(sizes),
-        "neighbors": neighbors_list,
-        "subsampling": subsampling_list,
-        "upsampling": upsampling_list,
-        # level-0 Morton permutation: callers must realign per-point
-        # attributes (feats) with jnp.take(attrs, perm0, axis=0)
-        "perm0": perm0,
-    }
+    out["neighbors"] = neighbors_list
+    out["subsampling"] = subsampling_list
+    out["upsampling"] = upsampling_list
+    return out
 
 
 def build_pyramid_batched(points: jax.Array, rng: jax.Array, sizes, neighbor_num=128):
