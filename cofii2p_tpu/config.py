@@ -83,9 +83,16 @@ class Config:
     #  'banded' — gather-free banded radius neighborhoods over the Morton
     #             order (TPU-native; needs no kNN maps at all, so sample
     #             prep skips every neighbor search too).
-    kpconv_impl: str = "gather"
+    # kpconv_band_width is the half-band at pyramid level 0; the FPN doubles
+    # it per support level (the width needed for ~99% influence-mass
+    # coverage scales that way — tools/band_study.py).
+    # 'banded' is the framework default (the TPU-native fast path; ~2.5x
+    # end-to-end); evaluation of reference .t7 checkpoints auto-selects
+    # 'gather' for parity (evaluation/eval_all.py) since those weights were
+    # trained with kNN neighborhoods.
+    kpconv_impl: str = "banded"
     kpconv_tile: int = 128
-    kpconv_band_width: int = 1024
+    kpconv_band_width: int = 256
 
     # training (reference: options.py:45-59)
     epoch: int = 25

@@ -62,6 +62,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(get_config(args.dataset), args.overrides)
+    if args.ckpt.endswith((".t7", ".pth")) and not any(
+        o.startswith("kpconv_impl=") for o in args.overrides
+    ):
+        # reference checkpoints were trained with kNN neighborhoods; evaluate
+        # them with the parity path (an explicit override still wins)
+        cfg = cfg.replace(kpconv_impl="gather")
     logger = setup_logger()
 
     from cofii2p_tpu.train import build_dataset

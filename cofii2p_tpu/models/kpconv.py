@@ -317,10 +317,19 @@ class KPConvFPN(nn.Module):
         d, ks = self.init_dim, self.kernel_size
         r, s = self.init_radius, self.init_sigma
         banded = self.impl == "banded"
-        kw = dict(
-            norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
-            impl=self.impl, tile=self.tile, band_width=self.band_width,
-        )
+
+        def bw(support_lvl: int) -> int:
+            # The band width needed for ~99% influence-mass coverage doubles
+            # per level (radius doubles while per-index density only halves;
+            # measured in tools/band_study.py), so ``band_width`` is the
+            # level-0 width and scales with the *support* level.
+            return self.band_width * (2**support_lvl)
+
+        def kw(support_lvl: int) -> dict:
+            return dict(
+                norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
+                impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
+            )
 
         enc = {}
         nbr0 = None if banded else neighbors[0]
@@ -329,10 +338,10 @@ class KPConvFPN(nn.Module):
             if banded
             else kernel_influence(points[0], points[0], nbr0, r, s, ks)
         )
-        x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw)(
+        x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
             feats, points[0], points[0], nbr0, inf0
         )
-        x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw)(
+        x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw(0))(
             x, points[0], points[0], nbr0, inf0
         )
         enc[1] = x
@@ -364,7 +373,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 2),
                 strided=True,
                 name=f"encoder{stage}_1",
-                **kw,
+                **kw(lvl - 1),
             )(x, points[lvl], points[lvl - 1], sub)
             x = ResidualBlock(
                 cin,
@@ -373,7 +382,7 @@ class KPConvFPN(nn.Module):
                 r * 2 ** (stage - 1),
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
-                **kw,
+                **kw(lvl),
             )(x, points[lvl], points[lvl], nbr, inf_self)
             x = ResidualBlock(
                 cout,
@@ -382,7 +391,7 @@ class KPConvFPN(nn.Module):
                 r * 2 ** (stage - 1),
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
-                **kw,
+                **kw(lvl),
             )(x, points[lvl], points[lvl], nbr, inf_self)
             enc[stage] = x
 
@@ -391,7 +400,7 @@ class KPConvFPN(nn.Module):
             if banded:
                 idx = jax.vmap(
                     lambda q, sp: banded_nearest_index(
-                        q, sp, self.tile, self.band_width
+                        q, sp, self.tile, bw(lvl + 1)
                     )
                 )(points[lvl], points[lvl + 1])
                 return jnp.take_along_axis(feats_coarse, idx[..., None], axis=-2)

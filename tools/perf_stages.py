@@ -111,6 +111,31 @@ def main():
             results["fpn_ms"] = round(dt * 1e3, 1)
             print("fpn_ms", results["fpn_ms"], flush=True)
 
+    if "ransac" in stages:
+        import functools
+        from cofii2p_tpu.pose.ransac import ransac_pnp
+
+        s = cfg.num_superpoints
+        r = jax.random.PRNGKey(7)
+        obj = jax.random.normal(r, (b, s, 3)) * 10.0
+        uv = jax.random.uniform(r, (b, s, 2)) * 100.0
+        Ks = jnp.tile(jnp.eye(3)[None], (b, 1, 1)) * 100.0
+        mask = (jax.random.uniform(r, (b, s)) < 0.3).astype(jnp.float32)
+        run = jax.jit(
+            jax.vmap(
+                functools.partial(
+                    ransac_pnp,
+                    inlier_threshold=cfg.ransac_inlier_px,
+                    num_hypotheses=cfg.ransac_hypotheses,
+                    refine_iters=cfg.ransac_refine_iters,
+                )
+            )
+        )
+        keys = jax.random.split(r, b)
+        dt = timeit_sync(lambda: run(keys, obj, uv, Ks, mask), warmup=2, iters=args.iters)
+        results["ransac_ms"] = round(dt * 1e3, 1)
+        print("ransac_ms", results["ransac_ms"], flush=True)
+
     if "pipeline" in stages:
         pipeline = make_eval_pipeline(cfg, model)
         counter = iter(range(100000))
