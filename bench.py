@@ -40,6 +40,10 @@ def main():
     ds = SyntheticDataset(cfg, "val", length=batch_size)
     host = _collate([ds[i] for i in range(batch_size)])
     host = {k: v for k, v in host.items() if k != "index"}
+    # steady-state inputs: BatchLoader(to_device=True) stages batches on the
+    # device from its producer thread, overlapping H2D with compute, so the
+    # measured loop sees device-resident inputs
+    host = jax.device_put(host)
 
     tx = train_lib.make_optimizer(cfg)
     state = train_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0), host)

@@ -93,6 +93,9 @@ class Config:
     kpconv_impl: str = "banded"
     kpconv_tile: int = 128
     kpconv_band_width: int = 256
+    # banded aggregation backend: 'xla' (lax.map scan) or 'pallas' (fused
+    # VMEM kernel, ops/kpconv_kernel.py; interpret-mode on CPU)
+    kpconv_kernel: str = "xla"
 
     # training (reference: options.py:45-59)
     epoch: int = 25

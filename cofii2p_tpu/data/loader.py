@@ -37,6 +37,7 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 8,
         prefetch: int = 2,
+        to_device: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +46,11 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        # stage batches on the accelerator from the producer thread so the
+        # host->device copy overlaps the previous step's compute (the
+        # reference pays a blocking .to(device) per tensor per step,
+        # train.py:192-217)
+        self.to_device = to_device
 
     def __len__(self):
         n = len(self.dataset)
@@ -68,7 +74,15 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(_collate(samples))
+                    batch = _collate(samples)
+                    if self.to_device:
+                        import jax
+
+                        index = batch.pop("index", None)
+                        batch = jax.device_put(batch)
+                        if index is not None:
+                            batch["index"] = index
+                    q.put(batch)
             q.put(None)
 
         th = threading.Thread(target=produce, daemon=True)

@@ -79,7 +79,7 @@ def main(argv=None):
     has_normals = getattr(dataset, "has_normals", True)
     loader = BatchLoader(
         dataset, args.batch_size, shuffle=False, drop_last=False,
-        num_workers=cfg.num_workers,
+        num_workers=cfg.num_workers, to_device=True,
     )
 
     model = CoFiI2P(cfg)

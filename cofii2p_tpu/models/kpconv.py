@@ -105,6 +105,7 @@ class KPConv(nn.Module):
     impl: str = "gather"
     tile: int = 128
     band_width: int = 1024
+    kernel: str = "xla"  # 'xla' | 'pallas' banded aggregation backend
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
@@ -121,12 +122,22 @@ class KPConv(nn.Module):
         )
 
         if self.impl == "banded":
-            weighted, count = jax.vmap(
-                lambda f, q, s: banded_kpconv_aggregate(
-                    f, q, s, self.radius, self.sigma, k,
+            if self.kernel == "pallas":
+                from cofii2p_tpu.ops.kpconv_kernel import (
+                    banded_kpconv_aggregate_pallas,
+                )
+
+                weighted, count = banded_kpconv_aggregate_pallas(
+                    s_feats, q_points, s_points, self.radius, self.sigma, k,
                     self.tile, self.band_width, self.dtype,
                 )
-            )(s_feats, q_points, s_points)
+            else:
+                weighted, count = jax.vmap(
+                    lambda f, q, s: banded_kpconv_aggregate(
+                        f, q, s, self.radius, self.sigma, k,
+                        self.tile, self.band_width, self.dtype,
+                    )
+                )(s_feats, q_points, s_points)
             out = jnp.einsum(
                 "bmkc,kcd->bmd",
                 weighted.astype(self.dtype),
@@ -219,13 +230,14 @@ class ConvBlock(nn.Module):
     impl: str = "gather"
     tile: int = 128
     band_width: int = 1024
+    kernel: str = "xla"
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, impl=self.impl, tile=self.tile,
-            band_width=self.band_width, name="KPConv",
+            band_width=self.band_width, kernel=self.kernel, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices, influence)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
@@ -246,6 +258,7 @@ class ResidualBlock(nn.Module):
     impl: str = "gather"
     tile: int = 128
     band_width: int = 1024
+    kernel: str = "xla"
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
@@ -256,7 +269,8 @@ class ResidualBlock(nn.Module):
             x = UnaryBlock(mid, self.norm, self.group_norm, dtype=self.dtype, name="unary1")(x)
         x = KPConv(
             mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype,
-            impl=self.impl, tile=self.tile, band_width=self.band_width, name="KPConv",
+            impl=self.impl, tile=self.tile, band_width=self.band_width,
+            kernel=self.kernel, name="KPConv",
         )(x, q_points, s_points, neighbor_indices, influence)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
@@ -311,6 +325,7 @@ class KPConvFPN(nn.Module):
     impl: str = "gather"
     tile: int = 128
     band_width: int = 1024
+    kernel: str = "xla"
 
     @nn.compact
     def __call__(self, feats, points, neighbors=None, subsampling=None, upsampling=None):
@@ -329,6 +344,7 @@ class KPConvFPN(nn.Module):
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
+                kernel=self.kernel,
             )
 
         enc = {}

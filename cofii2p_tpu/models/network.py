@@ -115,6 +115,7 @@ class CoFiI2P(nn.Module):
             impl=cfg.kpconv_impl,
             tile=cfg.kpconv_tile,
             band_width=cfg.kpconv_band_width,
+            kernel=cfg.kpconv_kernel,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)
         stage_sizes = {"resnet34": (3, 4, 6, 3), "resnet18": (2, 2, 2, 2)}[

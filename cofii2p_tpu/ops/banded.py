@@ -63,18 +63,20 @@ def kernel_reach(radius: float, sigma: float, kernel_size: int = 15) -> float:
 def _band_geometry(num_q: int, num_s: int, tile: int, band_width: int):
     """Static banding plan: tile size, tile count, band size.
 
-    Returns (tile, num_tiles, band, dense) where dense=True means the band
-    spans the whole support level (no slicing needed).
+    Returns (tile, num_tiles, band, dense).  The band is capped at the
+    support size; ``dense`` (single full-band tile, no scan) is only taken
+    when there is exactly one tile — even when the band spans the whole
+    level, multi-tile cases keep the query scan so peak memory stays
+    O(tile * band) per step (the backward of a monolithic (M, N, ...) op
+    materializes tens of GB at KITTI scale).
     """
     tile = min(tile, num_q)
     while num_q % tile:  # static shapes only; levels are powers of two
         tile //= 2
     num_tiles = num_q // tile
     span = -(-tile * num_s // num_q)  # tile's span in support indices
-    band = span + 2 * band_width
-    if band >= num_s:
-        return tile, num_tiles, num_s, True
-    return tile, num_tiles, band, False
+    band = min(span + 2 * band_width, num_s)
+    return tile, num_tiles, band, (num_tiles == 1 and band == num_s)
 
 
 def _band_start(t, tile: int, num_q: int, num_s: int, band: int):
@@ -159,7 +161,9 @@ def banded_kpconv_aggregate(
         return weighted, count.astype(jnp.int32)
 
     if dense:
-        return aggregate(q_points, s_points, s_feats)
+        # checkpoint for the same reason as the banded scan below: the
+        # (M, N, K) influence tensor must not be saved for the backward
+        return jax.checkpoint(aggregate)(q_points, s_points, s_feats)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
@@ -168,7 +172,10 @@ def banded_kpconv_aggregate(
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
         return aggregate(q, p, f)
 
-    weighted, count = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    # checkpoint: without it, differentiating through the scan saves the
+    # (tile, band, K) influence tensor of every step — tens of GB at KITTI
+    # scale; recomputing it in the backward is ~free (VPU-bound op)
+    weighted, count = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
     return weighted.reshape(m, kp.shape[0], c), count.reshape(m)
 
 
@@ -194,15 +201,31 @@ def banded_maxpool(
     r2 = r_active * r_active
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
     neg = jnp.asarray(-jnp.inf, s_feats.dtype)
+    # chunk channels so the (tile, band, chunk) select mask stays small in
+    # both the forward fusion and the max-grad recompute
+    cchunk = c if c <= 128 else 128
+    while c % cchunk:
+        cchunk //= 2
 
     def pool(q, p, f):
         d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
         within = d2 <= r2
-        out = jnp.max(jnp.where(within[..., None], f[None], neg), axis=1)
-        return jnp.where(jnp.any(within, axis=-1)[..., None], out, 0.0)
+        any_within = jnp.any(within, axis=-1)[..., None]
+
+        if c == cchunk:
+            out = jnp.max(jnp.where(within[..., None], f[None], neg), axis=1)
+            return jnp.where(any_within, out, 0.0)
+
+        def chunk_fn(j):
+            fc = jax.lax.dynamic_slice(f, (0, j * cchunk), (f.shape[0], cchunk))
+            return jnp.max(jnp.where(within[..., None], fc[None], neg), axis=1)
+
+        out = jax.lax.map(chunk_fn, jnp.arange(c // cchunk))  # (nc, T, cchunk)
+        out = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], c)
+        return jnp.where(any_within, out, 0.0)
 
     if dense:
-        return pool(q_points, s_points, s_feats)
+        return jax.checkpoint(pool)(q_points, s_points, s_feats)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
@@ -211,7 +234,8 @@ def banded_maxpool(
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
         return pool(q, p, f)
 
-    out = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    # checkpoint: don't save the (tile, band, C) max masks across the scan
+    out = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
     return out.reshape(m, c)
 
 

@@ -22,6 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from cofii2p_tpu.ops.geometry import rodrigues
+from cofii2p_tpu.ops.small_linalg import (
+    eigh3x3,
+    rigid_align_weighted,
+    smallest_eigvecs,
+    solve3x3,
+    solve_psd,
+)
 
 _EPS = 1e-9
 
@@ -32,7 +39,10 @@ def _control_points(points: jax.Array, w: jax.Array):
     c0 = jnp.sum(wn[:, None] * points, axis=0)
     centered = points - c0
     cov = jnp.einsum("n,ni,nj->ij", wn, centered, centered)
-    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    # closed-form symmetric 3x3 eigendecomposition (ops/small_linalg.py):
+    # jnp.linalg.eigh lowers to LAPACK-style loops that serialize under the
+    # 4096-wide RANSAC vmap
+    eigval, eigvec = eigh3x3(cov)  # ascending
     scale = jnp.sqrt(jnp.maximum(eigval, 1e-8))
     ctrl = c0 + (eigvec * scale[None, :]).T  # (3, 3): rows are c1..c3
     return jnp.concatenate([c0[None], ctrl], axis=0), eigvec, scale, c0  # (4,3)
@@ -70,7 +80,9 @@ def _solve_betas_case2(v1: jax.Array, v2: jax.Array, ctrl_w: jax.Array):
         [jnp.sum(da * da, -1), 2.0 * jnp.sum(da * db, -1), jnp.sum(db * db, -1)],
         axis=-1,
     )  # (6, 3)
-    sol = jnp.linalg.lstsq(L, dw2)[0]
+    # least squares via the 3x3 normal equations in closed form
+    ltl = L.T @ L + 1e-9 * jnp.eye(3)
+    sol = solve3x3(ltl, L.T @ dw2)
     b11, b12, b22 = sol[0], sol[1], sol[2]
     beta1 = jnp.sqrt(jnp.maximum(b11, _EPS))
     beta2 = jnp.sqrt(jnp.maximum(b22, _EPS)) * jnp.sign(b12)
@@ -83,16 +95,12 @@ def _solve_betas_case2(v1: jax.Array, v2: jax.Array, ctrl_w: jax.Array):
 
 
 def _umeyama(src: jax.Array, dst: jax.Array, w: jax.Array):
-    """Weighted rigid alignment: finds R, t with dst ~= R @ src + t."""
-    wn = w / jnp.maximum(jnp.sum(w), _EPS)
-    mu_s = jnp.sum(wn[:, None] * src, axis=0)
-    mu_d = jnp.sum(wn[:, None] * dst, axis=0)
-    cov = jnp.einsum("n,ni,nj->ij", wn, dst - mu_d, src - mu_s)
-    u, _, vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(u @ vt))
-    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.stack([1.0, 1.0, d])) @ vt
-    t = mu_d - R @ mu_s
-    return R, t
+    """Weighted rigid alignment: finds R, t with dst ~= R @ src + t.
+
+    Horn quaternion method (ops/small_linalg.rigid_align_weighted) instead
+    of the SVD form: no LAPACK loops under vmap, and always a proper
+    rotation (no reflection sign fix needed)."""
+    return rigid_align_weighted(src, dst, w)
 
 
 def reprojection_errors(R, t, object_points, image_points, K):
@@ -164,7 +172,10 @@ def epnp(object_points, image_points, K, weights):
     M = jnp.concatenate([r1 * sw, r2 * sw], axis=0)[:, perm]  # (2N, 12)
 
     mtm = M.T @ M
-    _, vecs = jnp.linalg.eigh(mtm)  # ascending eigenvalues
+    # the two near-null directions via shifted inverse iteration with an
+    # unrolled 12x12 Cholesky (ops/small_linalg.py) — jnp.linalg.eigh's
+    # iterative decomposition dominates RANSAC cost under vmap on TPU
+    vecs = smallest_eigvecs(mtm, num=2)
     v1 = vecs[:, 0]
     v2 = vecs[:, 1]
 
@@ -223,7 +234,7 @@ def refine_pose_gauss_newton(R, t, object_points, image_points, K, weights, iter
         wn = w[:, None, None]
         H = jnp.einsum("nik,nil->kl", J * wn, J) + 1e-6 * jnp.eye(6)
         g = jnp.einsum("nik,ni->k", J * wn, r)
-        delta = -jnp.linalg.solve(H, g)
+        delta = -solve_psd(H, g)
         R_new = rodrigues(delta[:3]) @ R
         t_new = t + delta[3:]
         return (R_new, t_new), None

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stages", default="prep,forward,pipeline")
+    ap.add_argument(
+        "--host_inputs", action="store_true",
+        help="keep pipeline inputs as host numpy (re-uploaded every call) "
+        "instead of pre-staged device arrays",
+    )
     args = ap.parse_args()
 
     from cofii2p_tpu.config import KITTIConfig, apply_overrides
@@ -111,6 +116,56 @@ def main():
             results["fpn_ms"] = round(dt * 1e3, 1)
             print("fpn_ms", results["fpn_ms"], flush=True)
 
+    if "fpn_bwd" in stages:
+        from cofii2p_tpu.models.kpconv import KPConvFPN
+
+        batch = jax.block_until_ready(
+            prepare_samples(
+                host["pc"], host["attrs"], host["P"], host["K"], rng, host["img"],
+                cfg, has_normals=True,
+            )
+        )
+        fpn = KPConvFPN(
+            input_dim=cfg.kpconv_input_dim, output_dim=cfg.kpconv_output_dim,
+            init_dim=cfg.kpconv_init_dim, kernel_size=cfg.kernel_size,
+            init_radius=cfg.init_radius, init_sigma=cfg.init_sigma,
+            norm=cfg.norm, group_norm=cfg.group_norm,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            impl=cfg.kpconv_impl, tile=cfg.kpconv_tile,
+            band_width=cfg.kpconv_band_width, kernel=cfg.kpconv_kernel,
+        )
+        fargs = (
+            batch["feats"], batch["points"], batch.get("neighbors"),
+            batch.get("subsampling"), batch.get("upsampling"),
+        )
+        fparams = fpn.init(jax.random.PRNGKey(0), *fargs)
+
+        def loss_fn(p):
+            outs = fpn.apply(p, *fargs)
+            return sum(jnp.sum(o * o) for o in outs)
+
+        gfn = jax.jit(jax.grad(loss_fn))
+        dt = timeit_sync(lambda: gfn(fparams), warmup=2, iters=args.iters)
+        results["fpn_bwd_ms"] = round(dt * 1e3, 1)
+        print("fpn_bwd_ms", results["fpn_bwd_ms"], flush=True)
+
+    if "train" in stages:
+        step = train_lib.make_train_step(cfg, model, tx)
+        state_t = jax.tree.map(jnp.copy, state)
+        counter = iter(range(100000))
+
+        def one_step():
+            nonlocal state_t
+            state_t, metrics = step(
+                state_t, host, jax.random.fold_in(rng, next(counter))
+            )
+            return metrics["loss"]
+
+        dt = timeit_sync(one_step, warmup=2, iters=args.iters)
+        results["train_step_ms"] = round(dt * 1e3, 1)
+        results["train_fps"] = round(b / dt, 2)
+        print("train_step_ms", results["train_step_ms"], "fps", results["train_fps"], flush=True)
+
     if "ransac" in stages:
         import functools
         from cofii2p_tpu.pose.ransac import ransac_pnp
@@ -138,6 +193,10 @@ def main():
 
     if "pipeline" in stages:
         pipeline = make_eval_pipeline(cfg, model)
+        if not args.host_inputs:
+            # steady-state: inputs pre-staged on device (BatchLoader-style
+            # prefetch overlaps the H2D copy with compute in production)
+            host = jax.device_put(host)
         counter = iter(range(100000))
         dt = timeit_sync(
             lambda: pipeline(
