@@ -93,9 +93,10 @@ class Config:
     kpconv_impl: str = "banded"
     kpconv_tile: int = 128
     kpconv_band_width: int = 256
-    # banded aggregation backend: 'xla' (lax.map scan) or 'pallas' (fused
-    # VMEM kernel, ops/kpconv_kernel.py; interpret-mode on CPU)
-    kpconv_kernel: str = "xla"
+    # banded aggregation backend: 'auto' (pallas on TPU, xla elsewhere),
+    # 'xla' (lax.map scan), or 'pallas' (fused VMEM kernel,
+    # ops/kpconv_kernel.py; interpret-mode on CPU — slow, tests only)
+    kpconv_kernel: str = "auto"
 
     # training (reference: options.py:45-59)
     epoch: int = 25

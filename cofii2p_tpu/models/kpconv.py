@@ -122,7 +122,10 @@ class KPConv(nn.Module):
         )
 
         if self.impl == "banded":
-            if self.kernel == "pallas":
+            use_pallas = self.kernel == "pallas" or (
+                self.kernel == "auto" and jax.default_backend() == "tpu"
+            )
+            if use_pallas:
                 from cofii2p_tpu.ops.kpconv_kernel import (
                     banded_kpconv_aggregate_pallas,
                 )
