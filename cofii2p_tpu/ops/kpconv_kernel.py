@@ -19,9 +19,16 @@ Grid: (B, num_tiles).  The caller pre-slices the per-tile support bands into
 is a plain blocked index map — no in-kernel gathers, which Mosaic cannot
 lower in this environment (PERF.md).
 
-Differentiation: wrapped in jax.custom_vjp.  The backward recomputes the
-influence with the XLA path and propagates into s_feats only — the pyramid
-coordinates are data, not parameters, so their gradients are never needed.
+Differentiation: wrapped in jax.custom_vjp, backward also a Pallas kernel.
+Gradients propagate into s_feats only — the pyramid coordinates are data,
+not parameters, so their gradients are never needed.  The backward is the
+transposed aggregation: grid over *support* tiles, each revisiting the
+contiguous window of query blocks whose bands touch it (the band plan is
+monotone, so the window is a static contiguous range), recomputing the
+influence with the same separable identity and accumulating
+infl^T @ g_weighted into the support tile's (stile, C) gradient block.
+The forward's exact band membership is reproduced in-kernel with an
+integer mask  start(tile(m)) <= j < start(tile(m)) + band.
 
 Usage is config-gated (`kpconv_kernel='pallas'`); the XLA path remains the
 default until the kernel is validated on the target TPU.
@@ -55,8 +62,13 @@ def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cd
     cnt_ref:(1, tile, 1)   in-radius counts
     """
     kpj = kp_ref[...]  # (K, 3)
-    q = q_ref[0]  # (tile, 3)
-    pT = pT_ref[0, 0]  # (3, band)
+    # center on the tile's first query: distances are translation-invariant,
+    # but the separable cross terms are not — at KITTI coordinate scale the
+    # uncentered kp.p / kp.q dots lose the precision the sqrt then amplifies
+    # near dist=0 (exactly where influence peaks)
+    ref = q_ref[0, 0:1, :]  # (1, 3)
+    q = q_ref[0] - ref  # (tile, 3)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, band)
     f = f_ref[0, 0].astype(cdtype)  # (band, C)
     k_num = kpj.shape[0]
     c = f.shape[-1]
@@ -72,9 +84,19 @@ def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cd
     within = d2 <= r2
     cnt_ref[0, :, :] = jnp.sum(within.astype(jnp.float32), axis=1, keepdims=True)
 
-    # row terms: -2 kp . p  -> (K, band); col terms: 2 kp . q -> (tile, K)
-    row = -2.0 * jnp.dot(kpj, pT, preferred_element_type=jnp.float32)  # (K, band)
-    col = 2.0 * jnp.dot(q, kpj.T, preferred_element_type=jnp.float32)  # (tile, K)
+    # row terms: -2 kp . p  -> (K, band); col terms: 2 kp . q -> (tile, K).
+    # HIGHEST precision: these K x 3 dots are a rounding error of the kernel's
+    # cost, but default (bf16-grade) MXU rounding here puts O(4e-3) absolute
+    # error into s2k, which the sqrt turns into O(0.1) influence error at
+    # small distances.
+    row = -2.0 * jnp.dot(
+        kpj, pT, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, band)
+    col = 2.0 * jnp.dot(
+        q, kpj.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (tile, K)
     kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
 
     inv_sigma = 1.0 / sigma
@@ -85,6 +107,21 @@ def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cd
         infl = jnp.where(within, infl, 0.0).astype(cdtype)
         acc = jnp.dot(infl, f, preferred_element_type=jnp.float32)  # (tile, C)
         out_ref[0, :, k * c : (k + 1) * c] = acc
+
+
+def _band_starts_np(num_q: int, num_s: int, tile: int, band: int, num_tiles: int) -> np.ndarray:
+    """Pure-Python twin of banded._band_start for every tile (jnp would
+    trace under jit); nondecreasing in t by construction."""
+    return np.asarray(
+        [
+            min(
+                max(((2 * t * tile + tile) * num_s) // (2 * num_q) - band // 2, 0),
+                num_s - band,
+            )
+            for t in range(num_tiles)
+        ],
+        dtype=np.int64,
+    )
 
 
 def _slice_bands(x: jax.Array, starts: np.ndarray, band: int) -> jax.Array:
@@ -129,13 +166,7 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
     tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
 
-    # pure-Python twin of banded._band_start (jnp would trace under jit)
-    starts = np.asarray(
-        [
-            min(max(((2 * t * tile + tile) * n) // (2 * m) - band // 2, 0), n - band)
-            for t in range(num_tiles)
-        ]
-    )
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
     band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
     band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
     band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
@@ -177,25 +208,140 @@ def _fwd(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band_wid
     return out, (s_feats, q_points, s_points)
 
 
-def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
-    """Backward via the XLA banded path: only s_feats receives gradient
-    (pyramid coordinates are pipeline data, never parameters)."""
-    from cofii2p_tpu.ops.banded import banded_kpconv_aggregate
+_BWD_STILE = 256  # support rows per backward grid cell (shrunk to divide N)
 
+
+def _agg_bwd_kernel(qsb_ref, kp_ref, q_ref, bs_ref, g_ref, pT_ref, out_ref, *, sigma, r2, band, cdtype):
+    """One (batch, support-tile, query-subtile) cell of the transposed
+    aggregation: out[js, c] += sum_{mq, k} infl[mq, js, k] * g[mq, k*C + c].
+
+    qsb_ref: (ns,)            scalar-prefetch query-window block starts
+    kp_ref:  (K, 3)           kernel points
+    q_ref:   (1, qtile, 3)    query coordinates of this window block
+    bs_ref:  (qtile, 1)       each query's forward band start (absolute idx)
+    g_ref:   (1, qtile, K*C)  cotangent of `weighted` for these queries
+    pT_ref:  (1, 1, 3, stile) this support tile's coordinates, transposed
+    out_ref: (1, stile, C)    support-feature gradient (revisited over qq)
+    """
+    ss = pl.program_id(1)
+    qq = pl.program_id(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    kpj = kp_ref[...]  # (K, 3)
+    # same per-cell centering + HIGHEST-precision cross terms as the forward
+    # kernel (see _agg_kernel) — keeps backward influence fp32-exact
+    ref = q_ref[0, 0:1, :]  # (1, 3)
+    q = q_ref[0] - ref  # (qtile, 3)
+    bs = bs_ref[...]  # (qtile, 1) int32
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, stile)
+    k_num = kpj.shape[0]
+    stile = pT.shape[-1]
+    c = out_ref.shape[-1]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (qtile, stile)
+
+    # forward membership: within kernel reach AND within the query's band
+    j_abs = ss * stile + jax.lax.broadcasted_iota(jnp.int32, (1, stile), 1)
+    mask = (d2 <= r2) & (bs <= j_abs) & (j_abs < bs + band)
+
+    row = -2.0 * jnp.dot(
+        kpj, pT, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, stile)
+    col = 2.0 * jnp.dot(
+        q, kpj.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (qtile, K)
+    kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
+
+    inv_sigma = 1.0 / sigma
+    acc = jnp.zeros((stile, c), jnp.float32)
+    for k in range(k_num):
+        s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+        dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+        infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+        infl = jnp.where(mask, infl, 0.0).astype(cdtype)
+        gk = g_ref[0, :, k * c : (k + 1) * c].astype(cdtype)  # (qtile, C)
+        acc = acc + jax.lax.dot_general(
+            infl, gk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # contract over queries -> (stile, C)
+    out_ref[0, :, :] += acc
+
+
+def _bwd_geometry(m: int, n: int, tile_q: int, band: int, starts: np.ndarray):
+    """Static plan for the transposed pass: support tile size, per-support-
+    tile query-window block starts (uniform width Q, multiple of tile_q)."""
+    stile = min(_BWD_STILE, n)
+    while n % stile:
+        stile //= 2
+    ns = n // stile
+    t_lo = np.zeros(ns, np.int64)
+    t_hi = np.zeros(ns, np.int64)
+    for s_i in range(ns):
+        touch = np.nonzero(
+            (starts < (s_i + 1) * stile) & (starts + band > s_i * stile)
+        )[0]
+        if len(touch):
+            t_lo[s_i], t_hi[s_i] = touch[0], touch[-1]
+    q_win = int(((t_hi - t_lo + 1) * tile_q).max())
+    q_win = min(-(-q_win // tile_q) * tile_q, m)
+    qstart = np.minimum(t_lo * tile_q, m - q_win)
+    return stile, ns, q_win, (qstart // tile_q).astype(np.int32)
+
+
+def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
+    """Transposed-aggregation Pallas backward: only s_feats receives
+    gradient (pyramid coordinates are pipeline data, never parameters)."""
     s_feats, q_points, s_points = res
     g_weighted, _ = g
 
-    def f_only(f):
-        w, _ = jax.vmap(
-            lambda ff, q, s: banded_kpconv_aggregate(
-                ff, q, s, radius, sigma, kernel_size, tile, band_width, dtype
-            )
-        )(f, q_points, s_points)
-        return w
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
+    k_num = kp.shape[0]
+    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile_q, band, num_tiles)
+    stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
+    nq_sub = q_win // tile_q
 
-    _, vjp = jax.vjp(f_only, s_feats)
-    (g_feats,) = vjp(g_weighted)
-    return g_feats, None, None
+    bs_per_query = jnp.asarray(
+        starts[np.arange(m) // tile_q].astype(np.int32).reshape(m, 1)
+    )
+    pT = jnp.swapaxes(s_points.reshape(b, ns, stile, 3), -1, -2)  # (B,ns,3,stile)
+    g2 = g_weighted.reshape(b, m, k_num * c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ns, nq_sub),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, ss, qq, qsb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 3), lambda bb, ss, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda bb, ss, qq, qsb: (qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k_num * c), lambda bb, ss, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, stile), lambda bb, ss, qq, qsb: (bb, ss, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, stile, c), lambda bb, ss, qq, qsb: (bb, ss, 0), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _agg_bwd_kernel, sigma=float(sigma), r2=float(r2), band=int(band),
+        cdtype=jnp.dtype(dtype),
+    )
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+    g_feats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(qstart_blk), jnp.asarray(kp), q_points, bs_per_query, g2, pT)
+    return g_feats.astype(s_feats.dtype), None, None
 
 
 banded_kpconv_aggregate_pallas.defvjp(_fwd, _bwd)

@@ -74,6 +74,33 @@ def test_gradient_matches_xla_path():
     )
 
 
+def test_gradient_matches_xla_path_strided_multitile():
+    # m != n and several query tiles + support tiles: exercises the backward
+    # kernel's per-support-tile query-window plan and the in-kernel band mask
+    feats, pts = _setup(b=2, n=512, c=8)
+    q = pts[:, ::2]  # (B, 256, 3)
+    kw = dict(KW, tile=64, band_width=48)
+    g = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 256, 15, 8)).astype(np.float32)
+    )
+
+    def loss_pl(f):
+        w, _ = banded_kpconv_aggregate_pallas(f, q, pts, **kw)
+        return jnp.sum(w * g)
+
+    def loss_xla(f):
+        w, _ = jax.vmap(
+            lambda ff, qq, s: banded_kpconv_aggregate(ff, qq, s, **kw)
+        )(f, q, pts)
+        return jnp.sum(w * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_network_forward_with_pallas_kernel():
     from cofii2p_tpu.config import TinyConfig
     from cofii2p_tpu.data.loader import _collate
