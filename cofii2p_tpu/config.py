@@ -93,6 +93,19 @@ class Config:
     kpconv_impl: str = "banded"
     kpconv_tile: int = 128
     kpconv_band_width: int = 256
+    # Pyramid-level point ordering: 'xz' = 2-D Z-order on the camera-frame
+    # ground plane (x lateral, z depth) — LiDAR scenes are ground-plane-
+    # dominated, so at equal coverage 'xz' needs ~1.8x narrower bands than
+    # 3-D 'xyz' (tools/order_study.py).  Gather-path kNN maps are
+    # ordering-invariant, so this only affects the banded path's coverage.
+    pyramid_ordering: str = "xz"
+    # Per-support-level band widths for the FPN under 'xz' ordering
+    # (multiples of 128 — the TPU lane width; anything else is padded up by
+    # Mosaic and costs the next multiple anyway).  Every FPN conv measures
+    # >= 98.4% influence-mass coverage with this plan (tools/order_study.py),
+    # better than the old xyz/256-doubling default's 98.2% worst at ~1.8x
+    # less aggregation work.  None falls back to kpconv_band_width * 2^lvl.
+    kpconv_band_plan: tuple = (128, 256, 640, 1024, 2560)
     # banded aggregation backend: 'auto' (pallas on TPU, xla elsewhere),
     # 'xla' (lax.map scan), or 'pallas' (fused VMEM kernel,
     # ops/kpconv_kernel.py; interpret-mode on CPU — slow, tests only)
@@ -218,6 +231,14 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
             kw[key] = float(val)
         elif typ in ("bool", bool):
             kw[key] = val.lower() in ("1", "true", "yes")
+        elif typ in ("tuple", tuple):
+            # "128,256,640" -> (128, 256, 640); "none" -> None (fall back to
+            # whatever scalar rule the consumer applies)
+            kw[key] = (
+                None
+                if val.lower() in ("none", "")
+                else tuple(int(v) for v in val.split(","))
+            )
         else:
             kw[key] = val
     return cfg.replace(**kw)

@@ -68,6 +68,7 @@ def _prepare_one(
         cfg.pyramid_sizes,
         cfg.neighbor_num,
         need_maps=cfg.kpconv_impl != "banded",
+        ordering=cfg.pyramid_ordering,
     )
     feats = jnp.take(feats, pyr["perm0"], axis=0)  # realign to Morton order
     superpoints = pyr["points"][-1]  # (S, 3)

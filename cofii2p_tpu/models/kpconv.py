@@ -328,6 +328,7 @@ class KPConvFPN(nn.Module):
     impl: str = "gather"
     tile: int = 128
     band_width: int = 1024
+    band_plan: Any = None  # per-support-level widths; None = doubling rule
     kernel: str = "xla"
 
     @nn.compact
@@ -337,10 +338,15 @@ class KPConvFPN(nn.Module):
         banded = self.impl == "banded"
 
         def bw(support_lvl: int) -> int:
-            # The band width needed for ~99% influence-mass coverage doubles
-            # per level (radius doubles while per-index density only halves;
-            # measured in tools/band_study.py), so ``band_width`` is the
-            # level-0 width and scales with the *support* level.
+            # The band width needed for ~99% influence-mass coverage roughly
+            # doubles per level (radius doubles while per-index density only
+            # halves; tools/band_study.py), so without an explicit plan
+            # ``band_width`` is the level-0 width scaled by the *support*
+            # level.  ``band_plan`` gives exact per-level widths instead
+            # (config default: measured 128-multiples under 'xz' ordering,
+            # tools/order_study.py).
+            if self.band_plan is not None:
+                return int(self.band_plan[support_lvl])
             return self.band_width * (2**support_lvl)
 
         def kw(support_lvl: int) -> dict:

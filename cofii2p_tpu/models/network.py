@@ -115,6 +115,7 @@ class CoFiI2P(nn.Module):
             impl=cfg.kpconv_impl,
             tile=cfg.kpconv_tile,
             band_width=cfg.kpconv_band_width,
+            band_plan=cfg.kpconv_band_plan,
             kernel=cfg.kpconv_kernel,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

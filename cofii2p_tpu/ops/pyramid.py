@@ -30,16 +30,42 @@ import jax.numpy as jnp
 from cofii2p_tpu.ops.knn import knn
 
 
-def morton_order(points: jax.Array, voxel: float = 0.4) -> jax.Array:
+def morton_order(
+    points: jax.Array, voxel: float = 0.4, ordering: str = "xyz"
+) -> jax.Array:
     """Permutation sorting points along a Z-order (Morton) curve.
 
     Spatially local points get nearby indices, so the kNN index maps become
-    near-diagonal and the KPConv neighbor gathers — the branch's bandwidth
-    bottleneck on TPU — hit HBM with locality instead of randomly.
-    Any permutation of a level is semantically equivalent (all downstream
-    consumers go through the index maps built afterwards).
+    near-diagonal and the banded KPConv path's radius neighborhoods fit in
+    narrow contiguous index bands.  Any permutation of a level is
+    semantically equivalent (downstream consumers go through index maps or
+    radius bands built afterwards).
+
+    ordering='xyz': 3-D Z-order (10 bits/axis).
+    ordering='xz':  2-D Z-order on the camera-frame ground plane (x lateral,
+      z depth; 15 bits/axis), ignoring height.  LiDAR scenes are
+      ground-plane-dominated, so spending index locality on y wastes band
+      width: at equal influence-mass coverage the 'xz' curve needs ~1.8x
+      narrower bands than 'xyz' (tools/order_study.py; Hilbert variants
+      measured no better).  All points in a vertical column are contiguous,
+      so tall structures only dilute — never break — band locality.
     """
     lo = jnp.min(points, axis=0)
+
+    if ordering == "xz":
+        q = jnp.clip(((points - lo) / voxel).astype(jnp.int32), 0, (1 << 15) - 1)
+
+        def spread2(v):  # interleave 15 bits with 1-bit gaps (fits int32)
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            v = (v | (v << 1)) & 0x55555555
+            return v
+
+        code = spread2(q[:, 0]) | (spread2(q[:, 2]) << 1)
+        return jnp.argsort(code)
+
+    assert ordering == "xyz", ordering
     q = jnp.clip(((points - lo) / voxel).astype(jnp.int32), 0, (1 << 10) - 1)
 
     def spread(v):  # interleave 10 bits with 2-bit gaps
@@ -55,7 +81,9 @@ def morton_order(points: jax.Array, voxel: float = 0.4) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sizes", "neighbor_num", "approx", "upsample_k", "need_maps"),
+    static_argnames=(
+        "sizes", "neighbor_num", "approx", "upsample_k", "need_maps", "ordering",
+    ),
 )
 def build_pyramid(
     points: jax.Array,
@@ -65,6 +93,7 @@ def build_pyramid(
     approx: bool = True,
     upsample_k: int = 8,
     need_maps: bool = True,
+    ordering: str = "xyz",
 ) -> dict:
     """Build the point pyramid + neighbor maps for one sample.
 
@@ -86,14 +115,16 @@ def build_pyramid(
     assert points.shape[0] == sizes[0], (points.shape, sizes)
     num_stages = len(sizes)
 
-    perm0 = morton_order(points)
+    perm0 = morton_order(points, ordering=ordering)
     points_list = [jnp.take(points, perm0, axis=0)]
     for lvl in range(1, num_stages):
         rng, sub = jax.random.split(rng)
         prev = points_list[-1]
         perm = jax.random.permutation(sub, prev.shape[0])[: sizes[lvl]]
         sub_pts = jnp.take(prev, perm, axis=0)
-        points_list.append(jnp.take(sub_pts, morton_order(sub_pts), axis=0))
+        points_list.append(
+            jnp.take(sub_pts, morton_order(sub_pts, ordering=ordering), axis=0)
+        )
 
     out = {
         "points": points_list,

@@ -99,3 +99,46 @@ def test_radius_search_masks_far_points():
     idx = np.asarray(radius_search(jnp.asarray(q), jnp.asarray(d), 1.0, 3))
     assert set(idx[0, :2].tolist()) == {0, 2}
     assert idx[0, 2] == 3  # shadow index == len(database)
+
+
+def test_morton_order_xz_is_permutation_and_column_contiguous():
+    from cofii2p_tpu.ops.pyramid import morton_order
+
+    rng = np.random.RandomState(11)
+    # ground-plane cloud with a tall vertical column at a fixed (x, z) cell
+    ground = np.stack(
+        [rng.uniform(0, 40, 200), rng.uniform(-1, 1, 200), rng.uniform(0, 40, 200)],
+        -1,
+    )
+    col = np.stack(
+        [np.full(16, 20.05), np.linspace(-5, 15, 16), np.full(16, 20.05)], -1
+    )
+    pts = np.concatenate([ground, col]).astype(np.float32)
+    perm = np.asarray(morton_order(jnp.asarray(pts), ordering="xz"))
+    assert sorted(perm.tolist()) == list(range(len(pts)))
+    # all 16 column points share one (x, z) voxel -> contiguous in the order
+    pos = np.sort(np.nonzero(perm >= 200)[0])
+    assert pos[-1] - pos[0] == 15
+
+
+def test_build_pyramid_ordering_xz():
+    rng = np.random.RandomState(6)
+    pts = rng.randn(256, 3).astype(np.float32)
+    sizes = (256, 128, 64, 32, 16)
+    out = build_pyramid(
+        jnp.asarray(pts), jax.random.PRNGKey(0), sizes, need_maps=False,
+        ordering="xz",
+    )
+    # level 0 is a permutation of the input, realignable via perm0
+    np.testing.assert_allclose(
+        np.asarray(out["points"][0]), pts[np.asarray(out["perm0"])]
+    )
+
+
+def test_apply_overrides_tuple_field():
+    from cofii2p_tpu.config import KITTIConfig, apply_overrides
+
+    cfg = apply_overrides(KITTIConfig(), ["kpconv_band_plan=64,128,256,512,512"])
+    assert cfg.kpconv_band_plan == (64, 128, 256, 512, 512)
+    cfg = apply_overrides(KITTIConfig(), ["kpconv_band_plan=none"])
+    assert cfg.kpconv_band_plan is None

@@ -109,7 +109,7 @@ def main():
         item = ds[i]
         pyr = build_pyramid(
             jnp.asarray(item["pc"]), jax.random.PRNGKey(i), cfg.pyramid_sizes,
-            need_maps=False,
+            need_maps=False, ordering=cfg.pyramid_ordering,
         )
         levels_per_frame.append([np.asarray(p) for p in pyr["points"]])
 

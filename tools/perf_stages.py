@@ -105,6 +105,8 @@ def main():
                 impl=cfg.kpconv_impl,
                 tile=cfg.kpconv_tile,
                 band_width=cfg.kpconv_band_width,
+                band_plan=cfg.kpconv_band_plan,
+                kernel=cfg.kpconv_kernel,
             )
             fargs = (
                 batch["feats"], batch["points"], batch.get("neighbors"),
@@ -132,7 +134,8 @@ def main():
             norm=cfg.norm, group_norm=cfg.group_norm,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             impl=cfg.kpconv_impl, tile=cfg.kpconv_tile,
-            band_width=cfg.kpconv_band_width, kernel=cfg.kpconv_kernel,
+            band_width=cfg.kpconv_band_width, band_plan=cfg.kpconv_band_plan,
+            kernel=cfg.kpconv_kernel,
         )
         fargs = (
             batch["feats"], batch["points"], batch.get("neighbors"),
