@@ -109,6 +109,28 @@ def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cd
         out_ref[0, :, k * c : (k + 1) * c] = acc
 
 
+def _auto_tile(tile: int, m: int, n: int, band_width: int, k_num: int, c: int, dtype) -> int:
+    """Shrink the query tile until the kernel's VMEM block residency fits the
+    ~16 MB scoped-VMEM budget.  The dominant blocks are the (tile, K*C)
+    output (double-buffered fp32) and the (band, C) feature band (double-
+    buffered compute dtype, plus a cast copy when compute dtype != fp32);
+    deep FPN levels (C=512, K=15) blow the budget at tile=128.  Forward and
+    backward both derive the band plan from this tile, so they must call
+    this identically."""
+    band = min(band_width, n)
+    fb = jnp.dtype(dtype).itemsize
+    feat_bytes = band * c * (fb * 2 + (4 if fb != 4 else 0))
+
+    def est(t):
+        out = 2 * t * k_num * c * 4  # out / cotangent block, double-buffered
+        tmp = 3 * t * band * 4  # d2 + per-k influence temporaries
+        return out + feat_bytes + tmp
+
+    while tile > 32 and est(tile) > 10 * 2**20:
+        tile //= 2
+    return tile
+
+
 def _band_starts_np(num_q: int, num_s: int, tile: int, band: int, num_tiles: int) -> np.ndarray:
     """Pure-Python twin of banded._band_start for every tile (jnp would
     trace under jit); nondecreasing in t by construction."""
@@ -164,6 +186,7 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile = _auto_tile(tile, m, n, band_width, k_num, c, dtype)
     tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
 
     starts = _band_starts_np(m, n, tile, band, num_tiles)
@@ -307,6 +330,7 @@ def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile = _auto_tile(tile, m, n, band_width, k_num, c, dtype)
     tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
     starts = _band_starts_np(m, n, tile_q, band, num_tiles)
     stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
