@@ -285,11 +285,24 @@ class ResidualBlock(nn.Module):
         if self.strided:
             if self.impl == "banded":
                 r_active = kernel_reach(self.radius, self.sigma, self.kernel_size)
-                shortcut = jax.vmap(
-                    lambda f, q, s: banded_maxpool(
-                        f, q, s, r_active, self.tile, self.band_width
+                use_pallas = self.kernel == "pallas" or (
+                    self.kernel == "auto" and jax.default_backend() == "tpu"
+                )
+                if use_pallas:
+                    from cofii2p_tpu.ops.maxpool_kernel import (
+                        banded_maxpool_pallas,
                     )
-                )(s_feats, q_points, s_points)
+
+                    shortcut = banded_maxpool_pallas(
+                        s_feats, q_points, s_points, r_active, self.tile,
+                        self.band_width,
+                    )
+                else:
+                    shortcut = jax.vmap(
+                        lambda f, q, s: banded_maxpool(
+                            f, q, s, r_active, self.tile, self.band_width
+                        )
+                    )(s_feats, q_points, s_points)
             else:
                 shortcut = neighbor_maxpool(s_feats, neighbor_indices)
         else:

@@ -1,0 +1,296 @@
+"""Fused Pallas TPU kernel for the banded neighborhood maxpool.
+
+The XLA banded maxpool (ops/banded.py::banded_maxpool) is the strided
+ResidualBlock's shortcut path (reference functional.py:53-66 maxes over kNN
+rows; the banded twin maxes over in-radius band members).  Measured at B=8
+KITTI scale it costs 143 ms across the four strided blocks — 56% of the
+whole eval pipeline — because XLA materializes the (tile, band, cchunk)
+masked select in HBM for every channel chunk (tools/fpn_bench.py).  This
+kernel keeps the masked running max in VMEM.
+
+VMEM discipline: a full (tile, band, C) select is up to ~150 MB, and even
+an in-kernel Python sweep fails — Mosaic stack-allocates the unrolled
+iterations' temporaries concurrently (measured 54 MB at the enc5 shape).
+So both sweeps ride the *grid* instead: channels and band chunks are grid
+axes, the output block is revisited with a running max, and each cell
+holds exactly one (tile, BCH, cc) masked-select temporary.
+
+Masking is arithmetic, not boolean: Mosaic cannot insert minor dims on
+1-bit vectors, so in-radius membership becomes an fp32 additive penalty
+(in: +0, the value stays bit-exact; out: -1e30, never the max of any real
+feature).  An in-radius count rides along as a second output; the final
+band chunk converts empty neighborhoods to zeros (shadow-row semantics,
+like the reference).
+
+Backward (custom_vjp, also Pallas): transposed over support tiles with the
+same query-window/scalar-prefetch plan as the aggregation backward
+(ops/kpconv_kernel.py), the query rows swept by a fourth grid axis —
+gradient is routed to every band member whose feature equals the forward
+max (`f == out`): exact float ties receive the gradient in full (XLA's
+autodiff splits it evenly; ties are measure-zero for real feature tensors,
+and the parity tests use all-distinct values).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cofii2p_tpu.ops.banded import _band_geometry
+from cofii2p_tpu.ops.kpconv_kernel import (
+    _band_starts_np,
+    _bwd_geometry,
+    _slice_bands,
+)
+
+_BCH = 128  # band rows per forward grid cell
+_QCH = 32  # query rows per backward grid cell
+
+
+def _row_chunk(total: int) -> int:
+    """Grid-axis row chunk: Mosaic wants lane-dim blocks divisible by 128
+    (or the full dim), and the (tile, chunk, cc) select temporary must stay
+    a few MB."""
+    return _BCH if total % _BCH == 0 else total
+
+
+def _maxpool_kernel(q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, r2):
+    """One (batch, query-tile, channel-chunk, band-chunk) cell.
+
+    q_ref:  (1, tile, 3)      query coordinates
+    pT_ref: (1, 1, 3, bch)    this band chunk's coordinates, transposed
+    f_ref:  (1, 1, bch, cc)   this band chunk's features
+    out_ref:(1, tile, cc)     running max (revisited over band chunks)
+    cnt_ref:(1, tile, 1)      running in-radius count (accumulated at cj==0)
+    """
+    cj = pl.program_id(2)
+    bc = pl.program_id(3)
+    nbc = pl.num_programs(3)
+
+    @pl.when(bc == 0)
+    def _init():
+        out_ref[...] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
+
+    @pl.when((bc == 0) & (cj == 0))
+    def _init_cnt():
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref  # (tile, 3)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, bch)
+    f = f_ref[0, 0]  # (bch, cc)
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (tile, bch)
+    wi = (d2 <= r2).astype(jnp.float32)
+
+    @pl.when(cj == 0)
+    def _count():
+        cnt_ref[0, :, :] += jnp.sum(wi, axis=1, keepdims=True)
+
+    # data-dependent skip: in-radius rows concentrate in a few chunks of the
+    # band (its width covers rare Morton discontinuities), so most cells
+    # have nothing to pool — the (tile, bch, cc) select is ~98% of the cost
+    # and runs only when this chunk holds at least one in-radius point
+    @pl.when(jnp.sum(wi) > 0.0)
+    def _pool():
+        pen = (wi[:, :, None] - 1.0) * 1e30  # in: +0 (exact), out: -1e30
+        cand = f.astype(jnp.float32)[None, :, :] + pen  # (tile, bch, cc)
+        pooled = jnp.maximum(
+            out_ref[0].astype(jnp.float32), jnp.max(cand, axis=1)
+        )
+        out_ref[0, :, :] = pooled.astype(out_ref.dtype)
+
+    @pl.when(bc == nbc - 1)
+    def _finish():
+        # empty neighborhoods -> zeros; cnt is complete (cj==0 sweeps first
+        # under the (.., cj, bc) grid order).  Arithmetic, not `where` — the
+        # (tile, 1) bool lane-broadcast trips Mosaic's 1-bit relayout.
+        hasf = (cnt_ref[0] > 0.0).astype(jnp.float32)  # (tile, 1)
+        fixed = (
+            jnp.maximum(out_ref[0].astype(jnp.float32), -1e30) * hasf
+        )  # all-empty -> -1e30*0 = 0
+        out_ref[0, :, :] = fixed.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def banded_maxpool_pallas(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    r_active: float,
+    tile: int = 128,
+    band_width: int = 1024,
+):
+    """Fused-kernel twin of ops.banded.banded_maxpool (batched).
+
+    s_feats (B, N, C), q_points (B, M, 3), s_points (B, N, 3) ->
+    (B, M, C) in the dtype of ``s_feats``.
+    """
+    return _forward(s_feats, q_points, s_points, r_active, tile, band_width)
+
+
+def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    r2 = float(r_active) ** 2
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+
+    cc = min(c, 128)
+    while c % cc:
+        cc //= 2
+    bch = _row_chunk(band)
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+    out, _ = pl.pallas_call(
+        functools.partial(_maxpool_kernel, r2=r2),
+        grid=(b, num_tiles, c // cc, band // bch),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, cj, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, cc), lambda bb, tt, cj, bc: (bb, tt, bc, cj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, c), s_feats.dtype),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_points, band_pT, band_f)
+    return out
+
+
+def _fwd(s_feats, q_points, s_points, r_active, tile, band_width):
+    out = _forward(s_feats, q_points, s_points, r_active, tile, band_width)
+    return out, (s_feats, q_points, s_points, out)
+
+
+def _maxpool_bwd_kernel(
+    qsb_ref, q_ref, bs_ref, g_ref, o_ref, pT_ref, fs_ref, out_ref, *, r2, band
+):
+    """One (batch, support-tile, channel-chunk, query-chunk) cell of the
+    transposed maxpool: out[j, c] += sum_m mask[m, j] * (fs[j, c] == o[m, c])
+    * g[m, c].
+
+    qsb_ref: (ns,)             scalar-prefetch query-window chunk starts
+                               (in units of QCH-row blocks)
+    q_ref:   (1, qch, 3)       query coordinates of this chunk
+    bs_ref:  (qch, 1)          each query's forward band start (absolute)
+    g_ref:   (1, qch, cc)      output cotangent
+    o_ref:   (1, qch, cc)      forward output (max values)
+    pT_ref:  (1, 1, 3, stile)  support coordinates, transposed
+    fs_ref:  (1, 1, stile, cc) support features of this tile
+    out_ref: (1, stile, cc)    feature gradient (revisited over qq)
+    """
+    ss = pl.program_id(1)
+    qq = pl.program_id(3)
+
+    @pl.when(qq == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref  # (qch, 3)
+    bs = bs_ref[...]  # (qch, 1)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, stile)
+    fs = fs_ref[0, 0].astype(jnp.float32)  # (stile, cc)
+    o = o_ref[0].astype(jnp.float32)  # (qch, cc)
+    g = g_ref[0].astype(jnp.float32)  # (qch, cc)
+    stile = pT.shape[-1]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (qch, stile)
+    j_abs = ss * stile + jax.lax.broadcasted_iota(jnp.int32, (1, stile), 1)
+    mask = (d2 <= r2) & (bs <= j_abs) & (j_abs < bs + band)  # (qch, stile)
+
+    maskf = mask.astype(jnp.float32)
+
+    # same data-dependent skip as the forward kernel: most (query-chunk,
+    # support-tile) cells share no in-radius pair
+    @pl.when(jnp.sum(maskf) > 0.0)
+    def _route():
+        # fold the mask into the equality as an fp32 shift — Mosaic cannot
+        # insert minor dims on 1-bit vectors, and a shifted max value can
+        # never equal a real (finite) feature
+        shift = (1.0 - maskf[:, :, None]) * 1e30
+        eq = fs[None, :, :] == (o[:, None, :] + shift)  # (qch, stile, cc)
+        out_ref[0, :, :] += jnp.sum(
+            jnp.where(eq, g[:, None, :], 0.0), axis=0
+        )
+
+
+def _bwd(r_active, tile, band_width, res, g):
+    """Transposed Pallas backward: only s_feats receives gradient (the
+    pyramid coordinates are pipeline data, never parameters)."""
+    s_feats, q_points, s_points, out = res
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    r2 = float(r_active) ** 2
+    tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile_q, band, num_tiles)
+    stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
+
+    # query rows are swept in QCH-row grid blocks (the full-window select
+    # temporary would not fit VMEM); window starts are tile_q-aligned, so
+    # re-expressing them in QCH units is exact
+    qch = _QCH
+    while tile_q % qch:
+        qch //= 2
+    sub = tile_q // qch
+    nq_sub = (q_win // tile_q) * sub
+    qstart_sub = (qstart_blk.astype(np.int64) * sub).astype(np.int32)
+
+    cc = min(c, 128)
+    while c % cc:
+        cc //= 2
+    nc = c // cc
+
+    bs_per_query = jnp.asarray(
+        starts[np.arange(m) // tile_q].astype(np.int32).reshape(m, 1)
+    )
+    pT = jnp.swapaxes(s_points.reshape(b, ns, stile, 3), -1, -2)  # (B,ns,3,stile)
+    fs = s_feats.reshape(b, ns, stile, c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ns, nc, nq_sub),
+        in_specs=[
+            pl.BlockSpec((1, qch, 3), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qch, 1), lambda bb, ss, cj, qq, qsb: (qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, stile), lambda bb, ss, cj, qq, qsb: (bb, ss, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, stile, cc), lambda bb, ss, cj, qq, qsb: (bb, ss, 0, cj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, stile, cc), lambda bb, ss, cj, qq, qsb: (bb, ss, cj), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_maxpool_bwd_kernel, r2=r2, band=int(band))
+    interpret = jax.devices()[0].platform != "tpu"
+    g_flat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(qstart_sub), q_points, bs_per_query,
+        g.astype(jnp.float32), out.astype(jnp.float32), pT, fs,
+    )
+    return g_flat.astype(s_feats.dtype), None, None
+
+
+banded_maxpool_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,106 @@
+"""Pallas banded-maxpool kernel vs the XLA banded path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cofii2p_tpu.ops.banded import banded_maxpool, kernel_reach
+from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_pallas
+from cofii2p_tpu.ops.pyramid import morton_order
+
+
+def _cloud(n, rng, extent=20.0):
+    pts = np.concatenate(
+        [rng.uniform(0, extent, (n, 2)), rng.uniform(0, 2.0, (n, 1))], 1
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    return pts[order]
+
+
+def _setup(b=2, n=256, c=16, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack([_cloud(n, rng) for _ in range(b)])
+    # all-distinct feature values: exact fp32 collisions are a real (if
+    # measure-zero) event for rng.normal at this size, and the kernel's
+    # documented tie deviation (full routing vs XLA's even split) would
+    # trip the gradient parity asserts
+    vals = rng.permutation(b * n * c).astype(np.float32)
+    feats = ((vals - vals.mean()) / (b * n * c / 4)).reshape(b, n, c)
+    return jnp.asarray(feats), jnp.asarray(pts)
+
+
+R_ACTIVE = kernel_reach(0.85, 0.4, 15)
+KW = dict(tile=64, band_width=64)
+
+
+def _xla(feats, q, s, **kw):
+    return jax.vmap(
+        lambda f, qq, ss: banded_maxpool(f, qq, ss, R_ACTIVE, **kw)
+    )(feats, q, s)
+
+
+def test_matches_xla_banded_path():
+    feats, pts = _setup()
+    out_pl = banded_maxpool_pallas(feats, pts, pts, R_ACTIVE, **KW)
+    out_xla = _xla(feats, pts, pts, **KW)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla))
+
+
+def test_strided_direction_multichunk_channels():
+    # c=192 forces a non-trivial channel split; strided m != n
+    feats, pts = _setup(n=256, c=192)
+    q = pts[:, ::2]
+    kw = dict(tile=64, band_width=48)
+    out_pl = banded_maxpool_pallas(feats, q, pts, R_ACTIVE, **kw)
+    out_xla = _xla(feats, q, pts, **kw)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla))
+
+
+def test_empty_neighborhood_yields_zeros():
+    feats, pts = _setup(b=1, n=128, c=8)
+    # one far-away query: nothing within reach -> exact zeros
+    q = jnp.concatenate(
+        [pts[:, :63], jnp.full((1, 1, 3), 500.0), pts[:, 63:64]], axis=1
+    )
+    out = banded_maxpool_pallas(feats, q, pts, R_ACTIVE, tile=32, band_width=32)
+    np.testing.assert_array_equal(np.asarray(out[0, 63]), np.zeros(8))
+
+
+def test_gradient_matches_xla_path():
+    feats, pts = _setup(b=2, n=256, c=16)
+    g = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 256, 16)).astype(np.float32)
+    )
+
+    def loss_pl(f):
+        return jnp.sum(banded_maxpool_pallas(f, pts, pts, R_ACTIVE, **KW) * g)
+
+    def loss_xla(f):
+        return jnp.sum(_xla(f, pts, pts, **KW) * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gradient_strided_multitile():
+    feats, pts = _setup(b=2, n=512, c=8)
+    q = pts[:, ::2]
+    kw = dict(tile=64, band_width=48)
+    g = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 256, 8)).astype(np.float32)
+    )
+
+    def loss_pl(f):
+        return jnp.sum(banded_maxpool_pallas(f, q, pts, R_ACTIVE, **kw) * g)
+
+    def loss_xla(f):
+        return jnp.sum(_xla(f, q, pts, **kw) * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
