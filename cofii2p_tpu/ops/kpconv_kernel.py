@@ -51,16 +51,33 @@ from cofii2p_tpu.ops.banded import (
 )
 
 
+_AGG_BCH = 128  # band rows per forward grid cell
+
+
 def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cdtype):
-    """One (batch, query-tile) cell: aggregate the tile's band.
+    """One (batch, query-tile, band-chunk) cell: accumulate this chunk's
+    influence-weighted features into the tile's running sums.
+
+    The band rides the grid (not the cell) so (a) VMEM holds one small
+    chunk instead of the whole band — tile stays 128 even at C=512 bf16 —
+    and (b) chunks with no in-reach point skip their entire K-sweep and
+    MXU dots: in-reach rows concentrate in a few chunks, the band's width
+    covers rare Morton discontinuities.
 
     kp_ref: (K, 3)         kernel points (same block everywhere)
     q_ref:  (1, tile, 3)   query coordinates
-    pT_ref: (1, 1, 3, band) support coordinates, transposed
-    f_ref:  (1, 1, band, C) support features
-    out_ref:(1, tile, K*C) influence-weighted sums
-    cnt_ref:(1, tile, 1)   in-radius counts
+    pT_ref: (1, 1, 3, bch) this band chunk's coordinates, transposed
+    f_ref:  (1, 1, bch, C) this band chunk's features
+    out_ref:(1, tile, K*C) influence-weighted sums (revisited over chunks)
+    cnt_ref:(1, tile, 1)   in-radius counts (revisited over chunks)
     """
+    bc = pl.program_id(2)
+
+    @pl.when(bc == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
     kpj = kp_ref[...]  # (K, 3)
     # center on the tile's first query: distances are translation-invariant,
     # but the separable cross terms are not — at KITTI coordinate scale the
@@ -68,67 +85,47 @@ def _agg_kernel(kp_ref, q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, sigma, r2, cd
     # near dist=0 (exactly where influence peaks)
     ref = q_ref[0, 0:1, :]  # (1, 3)
     q = q_ref[0] - ref  # (tile, 3)
-    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, band)
-    f = f_ref[0, 0].astype(cdtype)  # (band, C)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, bch)
     k_num = kpj.shape[0]
-    c = f.shape[-1]
 
-    # d2 (tile, band) and the separable cross terms
+    # d2 (tile, bch)
     d2 = None
     for d in range(3):
         qd = q[:, d : d + 1]  # (tile, 1)
-        pd = pT[d : d + 1, :]  # (1, band)
+        pd = pT[d : d + 1, :]  # (1, bch)
         diff = qd - pd
         d2 = diff * diff if d2 is None else d2 + diff * diff
 
-    within = d2 <= r2
-    cnt_ref[0, :, :] = jnp.sum(within.astype(jnp.float32), axis=1, keepdims=True)
+    wif = (d2 <= r2).astype(jnp.float32)  # (tile, bch)
+    cnt_ref[0, :, :] += jnp.sum(wif, axis=1, keepdims=True)
 
-    # row terms: -2 kp . p  -> (K, band); col terms: 2 kp . q -> (tile, K).
-    # HIGHEST precision: these K x 3 dots are a rounding error of the kernel's
-    # cost, but default (bf16-grade) MXU rounding here puts O(4e-3) absolute
-    # error into s2k, which the sqrt turns into O(0.1) influence error at
-    # small distances.
-    row = -2.0 * jnp.dot(
-        kpj, pT, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, band)
-    col = 2.0 * jnp.dot(
-        q, kpj.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (tile, K)
-    kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
+    @pl.when(jnp.sum(wif) > 0.0)
+    def _agg():
+        f = f_ref[0, 0].astype(cdtype)  # (bch, C)
+        c = f.shape[-1]
+        # row terms: -2 kp . p  -> (K, bch); col terms: 2 kp . q -> (tile, K).
+        # HIGHEST precision: these K x 3 dots are a rounding error of the
+        # kernel's cost, but default (bf16-grade) MXU rounding here puts
+        # O(4e-3) absolute error into s2k, which the sqrt turns into O(0.1)
+        # influence error at small distances.
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, bch)
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (tile, K)
+        kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
 
-    inv_sigma = 1.0 / sigma
-    for k in range(k_num):
-        s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
-        dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
-        infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
-        infl = jnp.where(within, infl, 0.0).astype(cdtype)
-        acc = jnp.dot(infl, f, preferred_element_type=jnp.float32)  # (tile, C)
-        out_ref[0, :, k * c : (k + 1) * c] = acc
-
-
-def _auto_tile(tile: int, m: int, n: int, band_width: int, k_num: int, c: int, dtype) -> int:
-    """Shrink the query tile until the kernel's VMEM block residency fits the
-    ~16 MB scoped-VMEM budget.  The dominant blocks are the (tile, K*C)
-    output (double-buffered fp32) and the (band, C) feature band (double-
-    buffered compute dtype, plus a cast copy when compute dtype != fp32);
-    deep FPN levels (C=512, K=15) blow the budget at tile=128.  Forward and
-    backward both derive the band plan from this tile, so they must call
-    this identically."""
-    band = min(band_width, n)
-    fb = jnp.dtype(dtype).itemsize
-    feat_bytes = band * c * (fb * 2 + (4 if fb != 4 else 0))
-
-    def est(t):
-        out = 2 * t * k_num * c * 4  # out / cotangent block, double-buffered
-        tmp = 3 * t * band * 4  # d2 + per-k influence temporaries
-        return out + feat_bytes + tmp
-
-    while tile > 32 and est(tile) > 10 * 2**20:
-        tile //= 2
-    return tile
+        inv_sigma = 1.0 / sigma
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * wif).astype(cdtype)
+            acc = jnp.dot(infl, f, preferred_element_type=jnp.float32)  # (tile, C)
+            out_ref[0, :, k * c : (k + 1) * c] += acc
 
 
 def _band_starts_np(num_q: int, num_s: int, tile: int, band: int, num_tiles: int) -> np.ndarray:
@@ -186,7 +183,6 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
-    tile = _auto_tile(tile, m, n, band_width, k_num, c, dtype)
     tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
 
     starts = _band_starts_np(m, n, tile, band, num_tiles)
@@ -194,22 +190,25 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
     band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
 
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+    # interpret mode pays Python per grid cell — one full-band chunk there
+    # (identical math; chunking exists for VMEM budget + skip granularity)
+    bch = _AGG_BCH if band % _AGG_BCH == 0 and not interpret else band
     kernel = functools.partial(
         _agg_kernel, sigma=float(sigma), r2=float(r2), cdtype=jnp.dtype(dtype),
     )
-    interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     out, cnt = pl.pallas_call(
         kernel,
-        grid=(b, num_tiles),
+        grid=(b, num_tiles, band // bch),
         in_specs=[
-            pl.BlockSpec((k_num, 3), lambda bb, tt: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 3), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, band), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, band, c), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_num, 3), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, c), lambda bb, tt, bc: (bb, tt, bc, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile, k_num * c), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k_num * c), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, m, k_num * c), jnp.float32),
@@ -271,31 +270,37 @@ def _agg_bwd_kernel(qsb_ref, kp_ref, q_ref, bs_ref, g_ref, pT_ref, out_ref, *, s
 
     # forward membership: within kernel reach AND within the query's band
     j_abs = ss * stile + jax.lax.broadcasted_iota(jnp.int32, (1, stile), 1)
-    mask = (d2 <= r2) & (bs <= j_abs) & (j_abs < bs + band)
+    maskf = (
+        (d2 <= r2) & (bs <= j_abs) & (j_abs < bs + band)
+    ).astype(jnp.float32)
 
-    row = -2.0 * jnp.dot(
-        kpj, pT, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, stile)
-    col = 2.0 * jnp.dot(
-        q, kpj.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (qtile, K)
-    kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
+    # same data-dependent skip as the forward kernel: most (query-window
+    # block, support-tile) cells share no in-reach pair
+    @pl.when(jnp.sum(maskf) > 0.0)
+    def _route():
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, stile)
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (qtile, K)
+        kp2 = jnp.sum(kpj * kpj, axis=-1)  # (K,)
 
-    inv_sigma = 1.0 / sigma
-    acc = jnp.zeros((stile, c), jnp.float32)
-    for k in range(k_num):
-        s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
-        dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
-        infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
-        infl = jnp.where(mask, infl, 0.0).astype(cdtype)
-        gk = g_ref[0, :, k * c : (k + 1) * c].astype(cdtype)  # (qtile, C)
-        acc = acc + jax.lax.dot_general(
-            infl, gk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # contract over queries -> (stile, C)
-    out_ref[0, :, :] += acc
+        inv_sigma = 1.0 / sigma
+        acc = jnp.zeros((stile, c), jnp.float32)
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * maskf).astype(cdtype)
+            gk = g_ref[0, :, k * c : (k + 1) * c].astype(cdtype)  # (qtile, C)
+            acc = acc + jax.lax.dot_general(
+                infl, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # contract over queries -> (stile, C)
+        out_ref[0, :, :] += acc
 
 
 def _bwd_geometry(m: int, n: int, tile_q: int, band: int, starts: np.ndarray):
@@ -330,7 +335,6 @@ def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
-    tile = _auto_tile(tile, m, n, band_width, k_num, c, dtype)
     tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
     starts = _band_starts_np(m, n, tile_q, band, num_tiles)
     stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)

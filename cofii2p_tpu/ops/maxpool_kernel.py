@@ -150,8 +150,9 @@ def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
     cc = min(c, 128)
     while c % cc:
         cc //= 2
-    bch = _row_chunk(band)
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+    # interpret mode pays Python per grid cell — one full-band chunk there
+    bch = band if interpret else _row_chunk(band)
     out, _ = pl.pallas_call(
         functools.partial(_maxpool_kernel, r2=r2),
         grid=(b, num_tiles, c // cc, band // bch),

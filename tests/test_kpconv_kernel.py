@@ -119,16 +119,3 @@ def test_network_forward_with_pallas_kernel():
     step = train_lib.make_train_step(cfg, model, tx)
     _, metrics = step(state, host, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
-
-
-def test_auto_tile_shrinks_for_wide_channels():
-    from cofii2p_tpu.ops.kpconv_kernel import _auto_tile
-
-    # deep FPN level (C=512, dense band 1280): the (tile, K*C) out block at
-    # tile=128 exceeds the scoped-VMEM budget -> shrink
-    assert _auto_tile(128, 1280, 1280, 2560, 15, 512, jnp.bfloat16) < 128
-    assert _auto_tile(128, 1280, 1280, 2560, 15, 512, jnp.float32) < 128
-    # fine levels keep the configured tile
-    assert _auto_tile(128, 20480, 20480, 128, 15, 16, jnp.float32) == 128
-    # never below the sublane-friendly floor
-    assert _auto_tile(128, 1280, 1280, 2560, 15, 4096, jnp.float32) == 32

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument("--xla_maxpool", action="store_true",
+                    help="also time the XLA banded maxpool for comparison")
     args = ap.parse_args()
 
     cfg = KITTIConfig()
@@ -44,6 +46,23 @@ def main():
     ks = cfg.kernel_size
     rng = np.random.default_rng(0)
     results = {}
+
+    # real pyramid clouds (ordering-faithful: the banded kernels' skip rate
+    # and coverage depend on the Morton/'xz' ordering, which random test
+    # clouds do not reproduce)
+    from cofii2p_tpu.data.loader import _collate
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.data.device_pipeline import prepare_samples
+
+    ds = SyntheticDataset(cfg, "val", length=b)
+    host = _collate([ds[i] for i in range(b)])
+    batch = jax.block_until_ready(
+        prepare_samples(
+            host["pc"], host["attrs"], host["P"], host["K"],
+            jax.random.PRNGKey(0), host["img"], cfg, has_normals=True,
+        )
+    )
+    pyramid = [jnp.asarray(p) for p in batch["points"]]
 
     tiny = jnp.zeros((8, 128))
     floor_fn = jax.jit(lambda x: jnp.sum(x * 2.0))
@@ -64,10 +83,9 @@ def main():
         print(f"{name:46s} {ms:8.2f} ms")
         return ms
 
-    def cloud(n):
-        return np.sort(rng.normal(size=(b, n, 3)).astype(np.float32) * 20, axis=1)
-
     # 1. strided-shortcut maxpools (stage, m, n, C, support_lvl, radius scale)
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_pallas
+
     pools = [
         (2, sizes[1], sizes[0], d * 2, 0, 1),
         (3, sizes[2], sizes[1], d * 4, 1, 2),
@@ -75,26 +93,33 @@ def main():
         (5, sizes[4], sizes[3], d * 16, 3, 8),
     ]
     for stage, m, n, c, sl, rs in pools:
-        s_pts = jnp.asarray(cloud(n))
-        q_pts = s_pts[:, :: n // m]
+        s_pts = pyramid[sl]
+        q_pts = pyramid[sl + 1]
         feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
         ra = kernel_reach(r0 * rs, s0 * rs, ks)
 
-        def one(f, q=q_pts, s=s_pts, ra=ra, bwp=plan[sl]):
-            out = jax.vmap(
-                lambda ff, qq, ss: banded_maxpool(
-                    ff, qq, ss, ra, cfg.kpconv_tile, bwp
-                )
-            )(f, q, s)
+        def one_pl(f, q=q_pts, s=s_pts, ra=ra, bwp=plan[sl]):
+            out = banded_maxpool_pallas(f, q, s, ra, cfg.kpconv_tile, bwp)
             return jnp.sum(out) * 1e-9
 
-        chained_ms(f"maxpool enc{stage}_1 m{m} n{n} C{c}", one, feats)
+        chained_ms(f"maxpool-pl enc{stage}_1 m{m} n{n} C{c}", one_pl, feats)
+
+        if args.xla_maxpool:
+            def one(f, q=q_pts, s=s_pts, ra=ra, bwp=plan[sl]):
+                out = jax.vmap(
+                    lambda ff, qq, ss: banded_maxpool(
+                        ff, qq, ss, ra, cfg.kpconv_tile, bwp
+                    )
+                )(f, q, s)
+                return jnp.sum(out) * 1e-9
+
+            chained_ms(f"maxpool enc{stage}_1 m{m} n{n} C{c}", one, feats)
 
     # 2. decoder nearest-index upsamples (fine lvl, coarse lvl)
     for lvl in (3, 2, 1):
         m, n = sizes[lvl], sizes[lvl + 1]
-        s_pts = jnp.asarray(cloud(m))  # fine queries
-        c_pts = s_pts[:, :: 2]
+        s_pts = pyramid[lvl]  # fine queries
+        c_pts = pyramid[lvl + 1]
 
         def one(q, sp=c_pts, bwp=plan[lvl + 1]):
             idx = jax.vmap(

@@ -66,6 +66,23 @@ def main():
     results = {}
     total = 0.0
 
+    # real pyramid clouds: the banded kernel's chunk-skip rate depends on
+    # the Morton/'xz' ordering, which random test clouds do not reproduce
+    from cofii2p_tpu.data.loader import _collate
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.data.device_pipeline import prepare_samples
+
+    ds = SyntheticDataset(cfg, "val", length=b)
+    host = _collate([ds[i] for i in range(b)])
+    batch = jax.block_until_ready(
+        prepare_samples(
+            host["pc"], host["attrs"], host["P"], host["K"],
+            jax.random.PRNGKey(0), host["img"], cfg, has_normals=True,
+        )
+    )
+    pyramid = [jnp.asarray(p) for p in batch["points"]]
+    lvl_of_size = {int(p.shape[1]): i for i, p in enumerate(pyramid)}
+
     # dispatch floor: a trivial jit through the tunneled backend costs a
     # fixed round-trip that would otherwise swamp single-kernel timings
     tiny = jnp.zeros((8, 128))
@@ -75,9 +92,8 @@ def main():
 
     for name, m, n, sl, rs, c in convs:
         reps = 2 if "(x2)" in name else 1
-        pts = np.sort(rng.normal(size=(b, n, 3)).astype(np.float32) * 20, axis=1)
-        s_pts = jnp.asarray(pts)
-        q_pts = s_pts[:, :: n // m] if n != m else s_pts
+        s_pts = pyramid[lvl_of_size[n]]
+        q_pts = pyramid[lvl_of_size[m]]
         feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
 
         def run(f, q=q_pts, s=s_pts, r=r0 * rs, sg=s0 * rs, bwp=plan[sl]):
