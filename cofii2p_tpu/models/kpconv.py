@@ -128,7 +128,29 @@ class KPConv(nn.Module):
             if use_pallas:
                 from cofii2p_tpu.ops.kpconv_kernel import (
                     banded_kpconv_aggregate_pallas,
+                    banded_kpconv_fused_pallas,
+                    fused_contraction_fits,
                 )
+
+                if fused_contraction_fits(k, cin, self.out_channels, self.tile):
+                    # fused kernel: the (B, M, K, C) weighted tensor never
+                    # reaches HBM in eval; when differentiated the VJP falls
+                    # back to the unfused structure (weighted as residual)
+                    out, count = banded_kpconv_fused_pallas(
+                        s_feats, q_points, s_points, weights, self.radius,
+                        self.sigma, k, self.tile, self.band_width, self.dtype,
+                    )
+                    out = out / count[..., None].astype(out.dtype)
+                    if self.use_bias:
+                        bias = self.param(
+                            "bias",
+                            lambda key, shape: jax.random.uniform(
+                                key, shape, jnp.float32, -bound, bound
+                            ),
+                            (self.out_channels,),
+                        )
+                        out = out + bias
+                    return out
 
                 weighted, count = banded_kpconv_aggregate_pallas(
                     s_feats, q_points, s_points, self.radius, self.sigma, k,

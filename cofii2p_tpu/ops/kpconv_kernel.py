@@ -191,9 +191,15 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
-    # interpret mode pays Python per grid cell — one full-band chunk there
-    # (identical math; chunking exists for VMEM budget + skip granularity)
-    bch = _AGG_BCH if band % _AGG_BCH == 0 and not interpret else band
+    # Chunking is for the skip guard, and only pays where chunks actually
+    # skip: measured occupancy of 128-row chunks is 0.67-0.85 on the narrow
+    # fine-level bands (per-cell overhead dominates, tools/kernel_bench.py)
+    # vs 0.31-0.61 on the wide deep-level bands.  Narrow bands therefore
+    # run as one whole-band cell; interpret mode (CPU tests) always does
+    # (it pays Python per cell, and one chunk keeps fp32 sums order-exact
+    # vs the XLA reference path).
+    chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
+    bch = _AGG_BCH if chunked else band
     kernel = functools.partial(
         _agg_kernel, sigma=float(sigma), r2=float(r2), cdtype=jnp.dtype(dtype),
     )
@@ -324,14 +330,12 @@ def _bwd_geometry(m: int, n: int, tile_q: int, band: int, starts: np.ndarray):
     return stile, ns, q_win, (qstart // tile_q).astype(np.int32)
 
 
-def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
-    """Transposed-aggregation Pallas backward: only s_feats receives
-    gradient (pyramid coordinates are pipeline data, never parameters)."""
-    s_feats, q_points, s_points = res
-    g_weighted, _ = g
-
+def _transpose_agg(g_weighted, q_points, s_points, n, c, radius, sigma,
+                   kernel_size, tile, band_width, dtype):
+    """Transposed aggregation: (B, M, K, C) cotangent of `weighted` ->
+    (B, N, C) fp32 feature gradient.  Shared by the plain and fused VJPs
+    (the aggregation backward never reads feature values, only geometry)."""
     b, m = q_points.shape[:2]
-    n, c = s_feats.shape[-2:]
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
@@ -369,7 +373,216 @@ def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         interpret=interpret,
     )(jnp.asarray(qstart_blk), jnp.asarray(kp), q_points, bs_per_query, g2, pT)
+    return g_feats
+
+
+def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
+    """Pallas backward: only s_feats receives gradient (pyramid
+    coordinates are pipeline data, never parameters)."""
+    s_feats, q_points, s_points = res
+    g_weighted, _ = g
+    n, c = s_feats.shape[-2:]
+    g_feats = _transpose_agg(
+        g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
     return g_feats.astype(s_feats.dtype), None, None
 
 
 banded_kpconv_aggregate_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: aggregation + kernel-weight contraction in one kernel.
+# ---------------------------------------------------------------------------
+
+
+def _agg_fused_kernel(kp_ref, q_ref, pT_ref, f_ref, w_ref, out_ref, cnt_ref,
+                      acc_ref, *, sigma, r2, cdtype):
+    """Like _agg_kernel, but the (tile, K*C) influence-weighted sums live in
+    a VMEM scratch and the last band chunk contracts them with the reshaped
+    (K*C, D) kernel weights in a single MXU dot — the (B, M, K, C) tensor
+    never reaches HBM (it is ~300 MB per conv at KITTI scale; the separate
+    XLA contraction einsums cost ~16 ms of the eval FPN, tools/fpn_bench).
+
+    Extra refs vs _agg_kernel:
+      w_ref:   (K*C, D)      weights, kc-major (same block everywhere)
+      out_ref: (1, tile, D)  contracted output
+      acc_ref: (tile, K*C)   fp32 scratch (persists across grid steps)
+    """
+    bc = pl.program_id(2)
+    nbc = pl.num_programs(2)
+
+    @pl.when(bc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    kpj = kp_ref[...]  # (K, 3)
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref  # (tile, 3)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, bch)
+    k_num = kpj.shape[0]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+
+    wif = (d2 <= r2).astype(jnp.float32)
+    cnt_ref[0, :, :] += jnp.sum(wif, axis=1, keepdims=True)
+
+    @pl.when(jnp.sum(wif) > 0.0)
+    def _agg():
+        f = f_ref[0, 0].astype(cdtype)  # (bch, C)
+        c = f.shape[-1]
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        kp2 = jnp.sum(kpj * kpj, axis=-1)
+
+        inv_sigma = 1.0 / sigma
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * wif).astype(cdtype)
+            acc_ref[:, k * c : (k + 1) * c] += jnp.dot(
+                infl, f, preferred_element_type=jnp.float32
+            )
+
+    @pl.when(bc == nbc - 1)
+    def _contract():
+        out_ref[0, :, :] = jnp.dot(
+            acc_ref[...].astype(cdtype), w_ref[...].astype(cdtype),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def fused_contraction_fits(kernel_size: int, cin: int, cout: int, tile: int = 128) -> bool:
+    """Whether the fused kernel's W block + scratch fit the VMEM budget
+    (deep C=512 convs fall back to the unfused kernel + XLA einsum)."""
+    return (
+        kernel_size * cin * cout * 4 + tile * kernel_size * cin * 4
+        <= 6 * 2**20
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def banded_kpconv_fused_pallas(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    weights: jax.Array,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    tile: int = 128,
+    band_width: int = 1024,
+    dtype=jnp.float32,
+):
+    """Aggregation fused with the (K, Cin, Cout) weight contraction.
+
+    Returns (out (B, M, D) fp32 — unnormalized: divide by count and add
+    bias outside — and count (B, M) int32).  When differentiated, the
+    unfused forward runs instead so `weighted` is available as a residual
+    for dW (training keeps today's cost; eval takes the fused kernel).
+    """
+    return _fused_forward(
+        s_feats, q_points, s_points, weights, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
+
+
+def _fused_forward(s_feats, q_points, s_points, weights, radius, sigma,
+                   kernel_size, tile, band_width, dtype):
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    d_out = weights.shape[-1]
+    kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
+    k_num = kp.shape[0]
+    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+    w2 = weights.reshape(k_num * c, d_out)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
+    bch = _AGG_BCH if chunked else band
+    kernel = functools.partial(
+        _agg_fused_kernel, sigma=float(sigma), r2=float(r2),
+        cdtype=jnp.dtype(dtype),
+    )
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, num_tiles, band // bch),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, c), lambda bb, tt, bc: (bb, tt, bc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_num * c, d_out), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d_out), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, k_num * c), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(kp), q_points, band_pT, band_f, w2)
+
+    count = jnp.maximum(cnt[..., 0], 1.0).astype(jnp.int32)
+    return out, count
+
+
+def _fused_fwd(s_feats, q_points, s_points, weights, radius, sigma,
+               kernel_size, tile, band_width, dtype):
+    # differentiation path: unfused aggregation + XLA einsum, so `weighted`
+    # is a residual for dW (mirrors the unfused training path exactly)
+    weighted, count = _forward(
+        s_feats, q_points, s_points, radius, sigma, kernel_size, tile,
+        band_width, dtype,
+    )
+    cdt = jnp.dtype(dtype)
+    out = jnp.einsum(
+        "bmkc,kcd->bmd", weighted.astype(cdt), weights.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return (out, count), (s_feats, q_points, s_points, weights, weighted)
+
+
+def _fused_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
+    s_feats, q_points, s_points, weights, weighted = res
+    g_out, _ = g  # (B, M, D); count carries no gradient
+    n, c = s_feats.shape[-2:]
+    cdt = jnp.dtype(dtype)
+
+    g_weighted = jnp.einsum(
+        "bmd,kcd->bmkc", g_out.astype(cdt), weights.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    g_feats = _transpose_agg(
+        g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
+    g_w = jnp.einsum(
+        "bmkc,bmd->kcd", weighted.astype(cdt), g_out.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return g_feats.astype(s_feats.dtype), None, None, g_w.astype(weights.dtype)
+
+
+banded_kpconv_fused_pallas.defvjp(_fused_fwd, _fused_bwd)

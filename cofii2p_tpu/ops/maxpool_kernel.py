@@ -101,12 +101,16 @@ def _maxpool_kernel(q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, r2):
     # and runs only when this chunk holds at least one in-radius point
     @pl.when(jnp.sum(wi) > 0.0)
     def _pool():
-        pen = (wi[:, :, None] - 1.0) * 1e30  # in: +0 (exact), out: -1e30
-        cand = f.astype(jnp.float32)[None, :, :] + pen  # (tile, bch, cc)
-        pooled = jnp.maximum(
-            out_ref[0].astype(jnp.float32), jnp.max(cand, axis=1)
-        )
-        out_ref[0, :, :] = pooled.astype(out_ref.dtype)
+        # the (tile, bch, cc) select chain runs in the FEATURE dtype: it is
+        # the kernel's VMEM-bandwidth bound, bf16 halves it, and the result
+        # stays exact (bf16 features + bf16 max = the same bf16 values;
+        # the -1e30 penalty is representable in bf16).  The mask itself is
+        # fp32 — Mosaic cannot relayout 1-bit vectors into minor dims.
+        cdt = f.dtype
+        pen = ((wi[:, :, None] - 1.0) * 1e30).astype(cdt)  # in: +0 (exact)
+        cand = f[None, :, :] + pen  # (tile, bch, cc)
+        pooled = jnp.maximum(out_ref[0], jnp.max(cand, axis=1))
+        out_ref[0, :, :] = pooled
 
     @pl.when(bc == nbc - 1)
     def _finish():

@@ -119,3 +119,57 @@ def test_network_forward_with_pallas_kernel():
     step = train_lib.make_train_step(cfg, model, tx)
     _, metrics = step(state, host, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_contraction_matches_unfused():
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_fused_pallas
+
+    feats, pts = _setup(b=2, n=256, c=16)
+    q = pts[:, ::2]
+    kw = dict(KW, tile=64, band_width=48)
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.normal(size=(15, 16, 24)).astype(np.float32) * 0.1)
+
+    out_f, cnt_f = banded_kpconv_fused_pallas(feats, q, pts, w, **kw)
+    weighted, cnt_u = banded_kpconv_aggregate_pallas(feats, q, pts, **kw)
+    out_u = jnp.einsum("bmkc,kcd->bmd", weighted, w,
+                       preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_u), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+
+
+def test_fused_gradients_match_unfused():
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_fused_pallas
+
+    feats, pts = _setup(b=1, n=128, c=8)
+    kw = dict(KW, tile=32, band_width=32)
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.normal(size=(15, 8, 8)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(1, 128, 8)).astype(np.float32))
+
+    def loss_fused(f, ww):
+        out, _ = banded_kpconv_fused_pallas(f, pts, pts, ww, **kw)
+        return jnp.sum(out * g)
+
+    def loss_unfused(f, ww):
+        weighted, _ = banded_kpconv_aggregate_pallas(f, pts, pts, **kw)
+        out = jnp.einsum("bmkc,kcd->bmd", weighted, ww,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(out * g)
+
+    gf, gw = jax.grad(loss_fused, argnums=(0, 1))(feats, w)
+    gf2, gw2 = jax.grad(loss_unfused, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_contraction_fits_gate():
+    from cofii2p_tpu.ops.kpconv_kernel import fused_contraction_fits
+
+    assert fused_contraction_fits(15, 32, 32)
+    assert fused_contraction_fits(15, 256, 256)
+    assert not fused_contraction_fits(15, 512, 512)
