@@ -101,13 +101,14 @@ def _maxpool_kernel(q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, r2):
     # and runs only when this chunk holds at least one in-radius point
     @pl.when(jnp.sum(wi) > 0.0)
     def _pool():
-        # the (tile, bch, cc) select chain runs in the FEATURE dtype: it is
-        # the kernel's VMEM-bandwidth bound, bf16 halves it, and the result
-        # stays exact (bf16 features + bf16 max = the same bf16 values;
-        # the -1e30 penalty is representable in bf16).  The mask itself is
-        # fp32 — Mosaic cannot relayout 1-bit vectors into minor dims.
+        # The select chain runs in the FEATURE dtype (bf16 features give a
+        # bf16 chain, exact: bf16 max of bf16 values; -1e30 is bf16-
+        # representable).  The mask rides as an additive penalty — Mosaic
+        # cannot relayout 1-bit vectors into minor dims.  (An 8-row
+        # sub-step sweep of the band measured identical to this one-shot
+        # select: the op is VPU-throughput-bound, not VMEM-bound.)
         cdt = f.dtype
-        pen = ((wi[:, :, None] - 1.0) * 1e30).astype(cdt)  # in: +0 (exact)
+        pen = ((wi[:, :, None] - 1.0) * 1e30).astype(cdt)  # (tile, bch, 1)
         cand = f[None, :, :] + pen  # (tile, bch, cc)
         pooled = jnp.maximum(out_ref[0], jnp.max(cand, axis=1))
         out_ref[0, :, :] = pooled
