@@ -103,16 +103,22 @@ def main():
             return w
 
         if args.bwd:
+            # g rides as a jit ARGUMENT: a closed-over 300 MB cotangent
+            # constant bakes into the MLIR and blows the compile-relay body
+            # limit (HTTP 413; PERF.md)
             g = jnp.asarray(
                 rng.normal(size=(b, m, cfg.kernel_size, c)).astype(np.float32)
             )
-            one = jax.grad(lambda f: jnp.sum(run(f) * g))
+            one = jax.grad(lambda f, gg: jnp.sum(run(f) * gg))
 
-            def chained(f, one=one):
+            def chained(f, gg, one=one):
                 def body(i, acc):
-                    gr = one(acc)
+                    gr = one(acc, gg)
                     return acc + 1e-12 * gr  # data dependency chains iters
                 return jnp.sum(jax.lax.fori_loop(0, args.inner, body, f))
+
+            fn = jax.jit(chained)
+            dt = timeit_sync(lambda: fn(feats, g), warmup=2, iters=args.iters)
         else:
             def chained(f):
                 def body(i, acc):
@@ -120,8 +126,8 @@ def main():
                     return acc + 1e-12 * jnp.sum(w)  # scalar dep chains iters
                 return jnp.sum(jax.lax.fori_loop(0, args.inner, body, f))
 
-        fn = jax.jit(chained)
-        dt = timeit_sync(lambda: fn(feats), warmup=2, iters=args.iters)
+            fn = jax.jit(chained)
+            dt = timeit_sync(lambda: fn(feats), warmup=2, iters=args.iters)
         ms = max(dt - floor, 0.0) / args.inner * 1e3 * reps
         total += ms
         results[name] = round(ms, 2)
