@@ -25,11 +25,24 @@ class SyntheticDataset:
         self.cfg = cfg
         self.mode = mode
         self.length = length
+        # frames are a pure function of the index (augmentation is applied
+        # on device with a per-step rng), so caching is semantics-free —
+        # without it, host-side regeneration dominates the training loop
+        # (~2 MB/frame; bounded by the dataset length)
+        self._cache: Dict[int, Dict[str, Any]] = {}
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        item = self._generate(index)
+        self._cache[index] = item
+        return item
+
+    def _generate(self, index: int) -> Dict[str, Any]:
         cfg = self.cfg
         (seed,) = np.random.SeedSequence([index, 777]).generate_state(1)
         rng = np.random.RandomState(seed)
