@@ -36,7 +36,10 @@ def main():
     from cofii2p_tpu import train_lib
 
     batch_size = 8
-    cfg = KITTIConfig()
+    # bf16 serving config: ~10% faster than fp32 (PERF.md) and accuracy-
+    # validated against fp32 on a trained checkpoint (same 32/32
+    # registration success, comparable RRE/RTE); params remain fp32
+    cfg = KITTIConfig(compute_dtype="bfloat16")
     model = CoFiI2P(cfg)
     ds = SyntheticDataset(cfg, "val", length=batch_size)
     host = _collate([ds[i] for i in range(batch_size)])
