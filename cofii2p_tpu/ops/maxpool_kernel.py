@@ -152,9 +152,9 @@ def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
     band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
     band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
 
-    cc = min(c, 128)
-    while c % cc:
-        cc //= 2
+    # Mosaic lane-dim blocks must be 128-multiples or the full dim; a
+    # non-128-multiple C therefore runs unchunked
+    cc = 128 if c % 128 == 0 else c
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     # interpret mode pays Python per grid cell — one full-band chunk there
     bch = band if interpret else _row_chunk(band)
@@ -261,9 +261,7 @@ def _bwd(r_active, tile, band_width, res, g):
     nq_sub = (q_win // tile_q) * sub
     qstart_sub = (qstart_blk.astype(np.int64) * sub).astype(np.int32)
 
-    cc = min(c, 128)
-    while c % cc:
-        cc //= 2
+    cc = 128 if c % 128 == 0 else c  # Mosaic lane-dim rule (see _forward)
     nc = c // cc
 
     bs_per_query = jnp.asarray(
