@@ -48,6 +48,11 @@ class Config:
     num_stages: int = 5
     neighbor_num: int = 128
 
+    # offline sweep accumulation (reference: options.py:12-13 KITTI / 68-69
+    # nuScenes; consumed by data/build_nuscenes.py)
+    accumulation_frame_num: int = 3
+    accumulation_frame_skip: int = 6
+
     # pose perturbation amplitudes, camera frame (reference: options.py:33-38)
     P_tx_amplitude: float = 10.0
     P_ty_amplitude: float = 0.0
@@ -110,6 +115,12 @@ class Config:
     # 'xla' (lax.map scan), or 'pallas' (fused VMEM kernel,
     # ops/kpconv_kernel.py; interpret-mode on CPU — slow, tests only)
     kpconv_kernel: str = "auto"
+    # share one influence tensor per (level, radius) across sibling KPConv
+    # blocks (valid while all layers use the canonical kernel disposition).
+    # eval of reference .t7 checkpoints sets this False: each reference layer
+    # carries its own rotated/jittered kernel_points buffer, imported into
+    # per-layer parameters (reference kpconv.py:64-65, kernel_points.py:429-453).
+    kpconv_shared_influence: bool = True
 
     # training (reference: options.py:45-59)
     epoch: int = 25
@@ -121,6 +132,12 @@ class Config:
     lr_decay_step: float = 0.25
     lr_decay_scale: float = 0.5
     val_freq: int = 100
+
+    # fine-cell decode: 'label' (consistent with the training labels) or
+    # 'reference' (the reference eval's swapped decode, eval_all.py:104-105 —
+    # needed to reproduce the published RRE/RTE exactly; see
+    # models/network.py::fine_match_xy)
+    fine_decode: str = "label"
 
     # test-mode inference (reference: network.py:147-150 threshold decay loop)
     test_score_thresholds_start: float = 0.9
@@ -180,6 +197,7 @@ class NuScenesConfig(Config):
     dataset: str = "nuscenes"
     data_path: str = "../nuscenes_i2p"
     epoch: int = 10
+    accumulation_frame_skip: int = 4
     crop_original_top_rows: int = 100
     img_scale: float = 0.4
     img_W: int = 320

@@ -36,11 +36,13 @@ class SyntheticDataset:
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         cached = self._cache.get(index)
-        if cached is not None:
-            return cached
-        item = self._generate(index)
-        self._cache[index] = item
-        return item
+        if cached is None:
+            cached = self._generate(index)
+            self._cache[index] = cached
+        # shallow copy: a consumer mutating the returned dict (or replacing
+        # entries) must not poison later epochs; the arrays themselves are
+        # treated as read-only downstream
+        return dict(cached)
 
     def _generate(self, index: int) -> Dict[str, Any]:
         cfg = self.cfg

@@ -62,12 +62,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(get_config(args.dataset), args.overrides)
-    if args.ckpt.endswith((".t7", ".pth")) and not any(
-        o.startswith("kpconv_impl=") for o in args.overrides
-    ):
-        # reference checkpoints were trained with kNN neighborhoods; evaluate
-        # them with the parity path (an explicit override still wins)
-        cfg = cfg.replace(kpconv_impl="gather")
+    if args.ckpt.endswith((".t7", ".pth")):
+        # reference checkpoints were trained with kNN neighborhoods and carry
+        # per-layer kernel dispositions; evaluate them with the parity path
+        # and per-layer influence (an explicit override still wins)
+        if not any(o.startswith("kpconv_impl=") for o in args.overrides):
+            cfg = cfg.replace(kpconv_impl="gather")
+        if not any(o.startswith("kpconv_shared_influence=") for o in args.overrides):
+            cfg = cfg.replace(kpconv_shared_influence=False)
     logger = setup_logger()
 
     from cofii2p_tpu.train import build_dataset

@@ -38,7 +38,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("ckpt", nargs="?", default="")
     parser.add_argument("dataset", nargs="?", default="kitti")
-    parser.add_argument("--synthetic", action="store_true", default=True)
+    parser.add_argument(
+        "--synthetic",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="synthetic frames (default); --no-synthetic benches real data",
+    )
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)

@@ -50,17 +50,25 @@ def nearest_upsample(feats: jax.Array, upsample_indices: jax.Array) -> jax.Array
     )
 
 
-def kernel_influence(q_points, s_points, neighbor_indices, radius, sigma, kernel_size=15):
+def kernel_influence(q_points, s_points, neighbor_indices, radius, sigma,
+                     kernel_size=15, kp=None):
     """Linear-correlation influence of each kernel point on each neighbor
     (reference kpconv.py:95-100), computed once per (level, radius) and
     shared by all sibling conv blocks — the neighbor-coordinate gather and
     the (B,M,H,K) influence tensor are among the branch's dominant memory
     costs, and recomputing them per block (as the reference does) is waste.
 
+    ``kp`` overrides the canonical cached disposition with an explicit (K, 3)
+    kernel-point array — used for per-layer dispositions imported from a
+    reference checkpoint (each reference KPConv registers its own randomly
+    rotated/jittered buffer, /root/reference/model/kpconv/kpconv.py:64-65,
+    kernel_points.py:429-453, and ``load_state_dict`` restores them).
+
     Returns (B, M, H, K) with shadow neighbors zeroed.
     """
     n = s_points.shape[-2]
-    kp = jnp.asarray(load_kernel_points(radius, kernel_size, 3))  # (K, 3)
+    if kp is None:
+        kp = jnp.asarray(load_kernel_points(radius, kernel_size, 3))  # (K, 3)
     valid = neighbor_indices < n  # (B, M, H)
     nbr_pts = gather_neighbors(s_points, neighbor_indices)  # (B, M, H, 3)
     offsets = nbr_pts - q_points[..., None, :]  # (B, M, H, 3)
@@ -119,6 +127,18 @@ class KPConv(nn.Module):
             "weights",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
             (k, cin, self.out_channels),
+        )
+
+        # Per-layer kernel disposition, as a frozen parameter (stop_gradient
+        # keeps Adam updates exactly zero).  Default init is the canonical
+        # deterministic disposition, so all layers share it and the FPN's
+        # shared-influence fast path stays valid; import_t7 fills each layer
+        # with the reference checkpoint's own buffer (the reference rotates +
+        # jitters the disposition per KPConv construction and load_state_dict
+        # restores the trained buffers — kpconv.py:64-65).
+        kp_default = np.asarray(load_kernel_points(self.radius, k, 3), np.float32)
+        kernel_points = jax.lax.stop_gradient(
+            self.param("kernel_points", lambda key, shape: jnp.asarray(kp_default), (k, 3))
         )
 
         if self.impl == "banded":
@@ -183,7 +203,8 @@ class KPConv(nn.Module):
 
         if influence is None:
             influence = kernel_influence(
-                q_points, s_points, neighbor_indices, self.radius, self.sigma, k
+                q_points, s_points, neighbor_indices, self.radius, self.sigma, k,
+                kp=kernel_points,
             )
 
         # bf16 path: casting the gathered features halves the dominant HBM
@@ -365,12 +386,18 @@ class KPConvFPN(nn.Module):
     band_width: int = 1024
     band_plan: Any = None  # per-support-level widths; None = doubling rule
     kernel: str = "xla"
+    # share one influence tensor per (level, radius) across sibling blocks —
+    # valid only while every KPConv uses the canonical kernel disposition.
+    # Set False after import_t7 (per-layer reference dispositions) so each
+    # block computes influence from its own kernel_points parameter.
+    shared_influence: bool = True
 
     @nn.compact
     def __call__(self, feats, points, neighbors=None, subsampling=None, upsampling=None):
         d, ks = self.init_dim, self.kernel_size
         r, s = self.init_radius, self.init_sigma
         banded = self.impl == "banded"
+        shared = self.shared_influence
 
         def bw(support_lvl: int) -> int:
             # The band width needed for ~99% influence-mass coverage roughly
@@ -381,7 +408,14 @@ class KPConvFPN(nn.Module):
             # (config default: measured 128-multiples under 'xz' ordering,
             # tools/order_study.py).
             if self.band_plan is not None:
-                return int(self.band_plan[support_lvl])
+                if support_lvl < len(self.band_plan):
+                    return int(self.band_plan[support_lvl])
+                # past the plan's end (e.g. num_stages raised without
+                # re-tuning): continue with the doubling rule from the last
+                # planned width
+                return int(self.band_plan[-1]) * (
+                    2 ** (support_lvl - len(self.band_plan) + 1)
+                )
             return self.band_width * (2**support_lvl)
 
         def kw(support_lvl: int) -> dict:
@@ -395,7 +429,7 @@ class KPConvFPN(nn.Module):
         nbr0 = None if banded else neighbors[0]
         inf0 = (
             None
-            if banded
+            if banded or not shared
             else kernel_influence(points[0], points[0], nbr0, r, s, ks)
         )
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
@@ -419,7 +453,7 @@ class KPConvFPN(nn.Module):
             sub = None if banded else subsampling[lvl - 1]
             inf_self = (
                 None
-                if banded
+                if banded or not shared
                 else kernel_influence(
                     points[lvl], points[lvl], nbr,
                     r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,

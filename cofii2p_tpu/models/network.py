@@ -117,6 +117,7 @@ class CoFiI2P(nn.Module):
             band_width=cfg.kpconv_band_width,
             band_plan=cfg.kpconv_band_plan,
             kernel=cfg.kpconv_kernel,
+            shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)
         stage_sizes = {"resnet34": (3, 4, 6, 3), "resnet18": (2, 2, 2, 2)}[
@@ -161,8 +162,12 @@ class CoFiI2P(nn.Module):
         img_feature_norm = l2norm(img_mid_map)  # (B, h8, w8, 128)
 
         # --- fine image map /8 -> /4 -> /2 (network.py:129-130) ---
+        # note: the reference feeds the *l2-normalized* /8 map into the
+        # upsample path (network.py:91 stores the normalized tensor in
+        # img_s8_feature_map; :129 upsamples it) — caught by the E2E parity
+        # test in tests/test_reference_parity.py
         up4 = ImageUpSample(128, dtype=dtype, name="img_upsample_1")(
-            img_s8_raw, img_s4, train
+            img_s8.astype(dtype), img_s4, train
         )
         up2 = l2norm(
             ImageUpSample(64, dtype=dtype, name="img_upsample_2")(up4, img_s2, train)
@@ -256,7 +261,8 @@ class CoFiI2P(nn.Module):
         }
 
 
-def fine_match_xy(fine_img_patch, fine_pc_feature, fine_center_xy):
+def fine_match_xy(fine_img_patch, fine_pc_feature, fine_center_xy,
+                  decode: str = "label"):
     """Argmax fine matching inside each 4x4 patch -> refined /2-scale pixels.
 
     Re-derivation of the eval-side fine matching (eval_all.py:98-105):
@@ -267,6 +273,15 @@ def fine_match_xy(fine_img_patch, fine_pc_feature, fine_center_xy):
       fine_img_patch: (B, S, 4, 4, C) patches (rows y, cols x).
       fine_pc_feature: (B, S, C).
       fine_center_xy: (B, S, 2) as (x, y).
+      decode: 'label' (default) or 'reference'.  The reference eval decodes
+        the cell index with the axes swapped (eval_all.py:104-105 adds
+        idx//4 — the *row* offset — to x), contradicting its own training
+        labels (train.py:268-269: label index = rel_y*4 + rel_x, matching the
+        patch's row-major flattening).  'label' is the label-consistent
+        decode (x += idx % 4, y += idx // 4); 'reference' reproduces the
+        published pipeline exactly, swap included — required for
+        apples-to-apples reproduction of the published RRE/RTE, which were
+        measured with the swap in place.
 
     Returns:
       (B, S, 2) refined pixel coordinates on the /2-resolution image.
@@ -277,11 +292,11 @@ def fine_match_xy(fine_img_patch, fine_pc_feature, fine_center_xy):
     pc_n = l2norm(fine_pc_feature)
     cos = jnp.einsum("bspc,bsc->bsp", cells_n, pc_n)
     idx = jnp.argmax(cos, axis=-1)  # (B, S) in 0..15, cell = y_off*4 + x_off
-    # Documented deviation: the reference eval decodes the cell index with the
-    # axes swapped (eval_all.py:104-105 adds idx//4 — the *row* offset — to x),
-    # contradicting its own training labels (train.py:268-269: label index
-    # = rel_y*4 + rel_x, matching the patch's row-major flattening).  We use
-    # the label-consistent decode: x += idx % 4, y += idx // 4.
-    dx = (idx % 4).astype(jnp.float32)
-    dy = (idx // 4).astype(jnp.float32)
+    if decode == "reference":
+        dx = (idx // 4).astype(jnp.float32)
+        dy = (idx % 4).astype(jnp.float32)
+    else:
+        assert decode == "label", decode
+        dx = (idx % 4).astype(jnp.float32)
+        dy = (idx // 4).astype(jnp.float32)
     return fine_center_xy - 2.0 + jnp.stack([dx, dy], axis=-1)

@@ -51,6 +51,13 @@ from cofii2p_tpu.ops.kpconv_kernel import (
 _BCH = 128  # band rows per forward grid cell
 _QCH = 32  # query rows per backward grid cell
 
+# Test hook: interpret mode (CPU) normally runs one full-band chunk (Python
+# per grid cell is slow) and non-128-multiple C unchunked, which would leave
+# the chunked revisit/accumulation paths — the paths production C=128/256/512
+# actually takes — untested off-TPU.  Tests set this to (cc, bch) to force
+# channel/band chunk sizes; None (production) keeps the rules below.
+_FORCE_CHUNKS = None
+
 
 def _row_chunk(total: int) -> int:
     """Grid-axis row chunk: Mosaic wants lane-dim blocks divisible by 128
@@ -158,6 +165,10 @@ def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     # interpret mode pays Python per grid cell — one full-band chunk there
     bch = band if interpret else _row_chunk(band)
+    if _FORCE_CHUNKS is not None:
+        fc, fb = _FORCE_CHUNKS
+        cc, bch = fc or cc, fb or bch
+        assert c % cc == 0 and band % bch == 0, (c, cc, band, bch)
     out, _ = pl.pallas_call(
         functools.partial(_maxpool_kernel, r2=r2),
         grid=(b, num_tiles, c // cc, band // bch),
@@ -185,7 +196,8 @@ def _fwd(s_feats, q_points, s_points, r_active, tile, band_width):
 
 
 def _maxpool_bwd_kernel(
-    qsb_ref, q_ref, bs_ref, g_ref, o_ref, pT_ref, fs_ref, out_ref, *, r2, band
+    qsb_ref, q_ref, tref_ref, bs_ref, g_ref, o_ref, pT_ref, fs_ref, out_ref,
+    *, r2, band
 ):
     """One (batch, support-tile, channel-chunk, query-chunk) cell of the
     transposed maxpool: out[j, c] += sum_m mask[m, j] * (fs[j, c] == o[m, c])
@@ -194,6 +206,12 @@ def _maxpool_bwd_kernel(
     qsb_ref: (ns,)             scalar-prefetch query-window chunk starts
                                (in units of QCH-row blocks)
     q_ref:   (1, qch, 3)       query coordinates of this chunk
+    tref_ref:(1, 1, 1, 3)      first query of this chunk's enclosing FORWARD
+                               tile — centering on it makes the d2 <= r2
+                               membership bit-identical to the forward's
+                               (centering on the chunk's own first row can
+                               flip ulp-boundary points and silently drop a
+                               query's max gradient)
     bs_ref:  (qch, 1)          each query's forward band start (absolute)
     g_ref:   (1, qch, cc)      output cotangent
     o_ref:   (1, qch, cc)      forward output (max values)
@@ -208,7 +226,7 @@ def _maxpool_bwd_kernel(
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    ref = q_ref[0, 0:1, :]
+    ref = tref_ref[0, 0]  # (1, 3)
     q = q_ref[0] - ref  # (qch, 3)
     bs = bs_ref[...]  # (qch, 1)
     pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, stile)
@@ -262,6 +280,9 @@ def _bwd(r_active, tile, band_width, res, g):
     qstart_sub = (qstart_blk.astype(np.int64) * sub).astype(np.int32)
 
     cc = 128 if c % 128 == 0 else c  # Mosaic lane-dim rule (see _forward)
+    if _FORCE_CHUNKS is not None and _FORCE_CHUNKS[0]:
+        cc = _FORCE_CHUNKS[0]
+        assert c % cc == 0, (c, cc)
     nc = c // cc
 
     bs_per_query = jnp.asarray(
@@ -269,12 +290,19 @@ def _bwd(r_active, tile, band_width, res, g):
     )
     pT = jnp.swapaxes(s_points.reshape(b, ns, stile, 3), -1, -2)  # (B,ns,3,stile)
     fs = s_feats.reshape(b, ns, stile, c)
+    # per-QCH-chunk reference row = first query of the chunk's enclosing
+    # forward tile (bit-identical centering with the forward kernel)
+    tref_idx = (np.arange(m // qch) * qch // tile_q) * tile_q
+    # (B, m//qch, 1, 3): the trailing (1, 3) equals the block shape, which is
+    # what Mosaic's last-two-dims rule requires
+    tile_refs = q_points[:, tref_idx, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, ns, nc, nq_sub),
         in_specs=[
             pl.BlockSpec((1, qch, 3), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 3), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qch, 1), lambda bb, ss, cj, qq, qsb: (qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
@@ -291,7 +319,7 @@ def _bwd(r_active, tile, band_width, res, g):
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         interpret=interpret,
     )(
-        jnp.asarray(qstart_sub), q_points, bs_per_query,
+        jnp.asarray(qstart_sub), q_points, tile_refs, bs_per_query,
         g.astype(jnp.float32), out.astype(jnp.float32), pT, fs,
     )
     return g_flat.astype(s_feats.dtype), None, None

@@ -169,12 +169,24 @@ def build_pyramid(
     return out
 
 
-def build_pyramid_batched(points: jax.Array, rng: jax.Array, sizes, neighbor_num=128):
+def build_pyramid_batched(
+    points: jax.Array,
+    rng: jax.Array,
+    sizes,
+    neighbor_num=128,
+    need_maps: bool = True,
+    ordering: str = "xyz",
+):
     """vmap of :func:`build_pyramid` over a leading batch dim.
 
-    points: (B, N0, 3); rng is split into B keys.
+    points: (B, N0, 3); rng is split into B keys.  ``ordering`` must match
+    the band plan of any banded consumer (config pairs 'xz' with the
+    xz-tuned kpconv_band_plan).
     """
     keys = jax.random.split(rng, points.shape[0])
     return jax.vmap(
-        lambda p, k: build_pyramid(p, k, tuple(sizes), neighbor_num)
+        lambda p, k: build_pyramid(
+            p, k, tuple(sizes), neighbor_num,
+            need_maps=need_maps, ordering=ordering,
+        )
     )(points, keys)

@@ -106,7 +106,10 @@ def main(argv=None):
 
     global_step = int(state.step)
     stop = False
-    for epoch in range(cfg.epoch):
+    # Resume continues the schedule (LR-decay position + epoch count) instead
+    # of restarting it; see train_lib.resume_epoch.
+    start_epoch = train_lib.resume_epoch(cfg, global_step, len(train_loader))
+    for epoch in range(start_epoch, cfg.epoch):
         lr = train_lib.lr_for_epoch(cfg, epoch)
         state = state._replace(
             opt_state=train_lib.set_learning_rate(state.opt_state, lr)

@@ -41,6 +41,15 @@ def lr_for_epoch(cfg: Config, epoch: int) -> float:
     return max(lr, cfg.min_lr)
 
 
+def resume_epoch(cfg: Config, global_step: int, steps_per_epoch: int) -> int:
+    """Epoch a restored run should continue from, derived from its step.
+
+    Keeps `--ft_from` on the LR-decay schedule instead of restarting it at
+    lr=cfg.lr / epoch 0 (the reference's --ft_from restores weights only and
+    restarts, /root/reference/train.py:151-152, 325-330)."""
+    return min(global_step // max(steps_per_epoch, 1), cfg.epoch)
+
+
 def set_learning_rate(opt_state, lr: float):
     """Update the injected Adam learning rate (epoch-level step decay)."""
     return opt_state._replace(

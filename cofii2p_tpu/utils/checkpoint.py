@@ -152,6 +152,10 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
 
     def kpconv(fpath, tpath):
         set_in(params, fpath + ("weights",), take(tpath + "weights", "raw"))
+        # each reference KPConv registers its own rotated/jittered disposition
+        # buffer and load_state_dict restores it (reference kpconv.py:64-65),
+        # so the released weights are tied to these per-layer kernel points
+        set_in(params, fpath + ("kernel_points",), take(tpath + "kernel_points", "raw"))
         if tpath + "bias" in sd:
             set_in(params, fpath + ("bias",), take(tpath + "bias", "raw"))
 
@@ -186,13 +190,20 @@ def import_t7(path: str, params: dict, batch_stats: dict) -> tuple[dict, dict]:
 
     unused = {k for k in sd if k not in used}
     globals()["_last_unused"] = unused  # introspection for tests
-    # expected unused: kernel-point buffers (random per load in the reference)
-    # and the never-called fine positional MLPs (network.py:36-37)
+    # Expected unused: parameters the reference registers but never uses in
+    # forward — the never-called fine positional MLPs (network.py:36-37), the
+    # commented-out img_feature_layer convs (network.py:31, usage commented
+    # at :120), the torchvision ResNet classifier head (imagenet.py fc, the
+    # encoder stops at the feature pyramid) — plus BatchNorm bookkeeping.
+    _expected_unused = (
+        "fine_img_pos_encoding",
+        "fine_pc_pos_encoding",
+        "num_batches_tracked",
+        "img_feature_layer.",
+        "img_encoder.backbone.fc.",
+    )
     unexpected = {
-        k
-        for k in unused
-        if "kernel_points" not in k and "fine_img_pos_encoding" not in k
-        and "fine_pc_pos_encoding" not in k and "num_batches_tracked" not in k
+        k for k in unused if not any(tag in k for tag in _expected_unused)
     }
     if unexpected:
         raise KeyError(f"unmapped reference parameters: {sorted(unexpected)[:10]}...")
@@ -291,6 +302,7 @@ def export_t7(params: dict, batch_stats: dict, path: str):
 
     pe, fpe = "pc_encoder.", ("pc_encoder",)
     put(pe + "encoder1_1.KPConv.weights", get(params, fpe + ("encoder1_1", "KPConv", "weights")), "raw")
+    put(pe + "encoder1_1.KPConv.kernel_points", get(params, fpe + ("encoder1_1", "KPConv", "kernel_points")), "raw")
     put(pe + "encoder1_1.KPConv.bias", get(params, fpe + ("encoder1_1", "KPConv", "bias")), "raw")
     put(pe + "encoder1_1.norm.norm.weight", get(params, fpe + ("encoder1_1", "PointGroupNorm_0", "scale")), "raw")
     put(pe + "encoder1_1.norm.norm.bias", get(params, fpe + ("encoder1_1", "PointGroupNorm_0", "bias")), "raw")
@@ -300,6 +312,7 @@ def export_t7(params: dict, batch_stats: dict, path: str):
         if "unary1" in params["pc_encoder"][nm]:
             unary_out(fb + ("unary1",), tb + "unary1.")
         put(tb + "KPConv.weights", get(params, fb + ("KPConv", "weights")), "raw")
+        put(tb + "KPConv.kernel_points", get(params, fb + ("KPConv", "kernel_points")), "raw")
         put(tb + "KPConv.bias", get(params, fb + ("KPConv", "bias")), "raw")
         put(tb + "norm_conv.norm.weight", get(params, fb + ("PointGroupNorm_0", "scale")), "raw")
         put(tb + "norm_conv.norm.bias", get(params, fb + ("PointGroupNorm_0", "bias")), "raw")

@@ -47,3 +47,22 @@ def test_fine_match_training_label_consistency():
     xy = np.asarray(fine_match_xy(jnp.asarray(patch), jnp.asarray(pc), jnp.asarray(center)))[0, 0]
     # decode: x = cx - 2 + rel_x, y = cy - 2 + rel_y
     np.testing.assert_array_equal(xy, [10 - 2 + 1, 20 - 2 + 2])
+
+
+def test_fine_match_reference_decode_swaps_axes():
+    """decode='reference' reproduces the reference eval's swapped decode
+    (eval_all.py:104-105 adds idx//4, the row offset, to x) — the published
+    numbers were measured with this swap, so the compat mode must keep it."""
+    rng = np.random.RandomState(2)
+    C = 4
+    patch = rng.randn(1, 1, 4, 4, C).astype(np.float32)
+    pc = patch[0, 0, 2, 1][None, None]  # argmax at rel_y=2, rel_x=1 -> idx 9
+    center = np.asarray([[[10.0, 20.0]]], np.float32)
+    xy = np.asarray(
+        fine_match_xy(
+            jnp.asarray(patch), jnp.asarray(pc), jnp.asarray(center),
+            decode="reference",
+        )
+    )[0, 0]
+    # reference decode: x = cx - 2 + idx // 4, y = cy - 2 + idx % 4
+    np.testing.assert_array_equal(xy, [10 - 2 + 2, 20 - 2 + 1])

@@ -46,14 +46,54 @@ def test_matches_xla_banded_path():
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla))
 
 
-def test_strided_direction_multichunk_channels():
-    # c=192 forces a non-trivial channel split; strided m != n
+def test_strided_direction_non_multiple_channels():
+    # c=192 is not a 128-multiple, so the kernel's rule runs it as a single
+    # channel chunk (maxpool_kernel.py cc rule); strided m != n
     feats, pts = _setup(n=256, c=192)
     q = pts[:, ::2]
     kw = dict(tile=64, band_width=48)
     out_pl = banded_maxpool_pallas(feats, q, pts, R_ACTIVE, **kw)
     out_xla = _xla(feats, q, pts, **kw)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla))
+
+
+def test_multichunk_channel_and_band_revisit(monkeypatch):
+    """Force cc=128 (so cj spans 2 chunks at c=256) and band chunking in
+    interpret mode — the revisit/accumulation paths production C=128/256/512
+    takes on TPU, including the cnt/_finish interplay across cj."""
+    from cofii2p_tpu.ops import maxpool_kernel as mk
+
+    feats, pts = _setup(n=256, c=256)
+    q = pts[:, ::2]
+    kw = dict(tile=64, band_width=32)  # band = 128 + 64 = 192, 64-divisible
+    out_xla = _xla(feats, q, pts, **kw)
+    monkeypatch.setattr(mk, "_FORCE_CHUNKS", (128, 64))
+    out_pl = banded_maxpool_pallas(feats, q, pts, R_ACTIVE, **kw)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla))
+
+
+def test_multichunk_gradient(monkeypatch):
+    """Backward channel chunking (cj > 1) under forced chunks."""
+    from cofii2p_tpu.ops import maxpool_kernel as mk
+
+    feats, pts = _setup(b=1, n=256, c=256)
+    g = jnp.asarray(
+        np.random.default_rng(9).normal(size=(1, 256, 256)).astype(np.float32)
+    )
+
+    def loss_xla(f):
+        return jnp.sum(_xla(f, pts, pts, **KW) * g)
+
+    g_xla = jax.grad(loss_xla)(feats)
+    monkeypatch.setattr(mk, "_FORCE_CHUNKS", (128, 64))
+
+    def loss_pl(f):
+        return jnp.sum(banded_maxpool_pallas(f, pts, pts, R_ACTIVE, **KW) * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_empty_neighborhood_yields_zeros():

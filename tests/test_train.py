@@ -88,6 +88,22 @@ def test_lr_schedule():
     assert train_lib.lr_for_epoch(cfg, 24) == cfg.min_lr
 
 
+def test_resume_continues_lr_schedule():
+    """A restored run must continue the LR-decay schedule from its step, not
+    restart at lr=cfg.lr / epoch 0 (reference --ft_from restarts,
+    /root/reference/train.py:151-152, 325-330)."""
+    cfg = TinyConfig()  # epoch=25, decay x0.25 every 5 epochs
+    steps_per_epoch = 64
+    # restored mid-run at step 7*64 -> epoch 7 -> one decay applied
+    ep = train_lib.resume_epoch(cfg, 7 * steps_per_epoch, steps_per_epoch)
+    assert ep == 7
+    assert train_lib.lr_for_epoch(cfg, ep) == cfg.lr * 0.25
+    # fresh run
+    assert train_lib.resume_epoch(cfg, 0, steps_per_epoch) == 0
+    # restored past the end: no further epochs run
+    assert train_lib.resume_epoch(cfg, 10_000 * steps_per_epoch, steps_per_epoch) == cfg.epoch
+
+
 def test_dp_sharded_step_matches_single_device(setup):
     """The 8-way sharded train step must agree with the unsharded step on the
     same batch: identical loss terms and gradient norm (XLA's inserted
