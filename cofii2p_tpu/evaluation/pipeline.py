@@ -33,8 +33,10 @@ class EvalOutput(NamedTuple):
     pc_score: jax.Array  # (B, S)
 
 
-def make_eval_pipeline(cfg: Config, model: CoFiI2P, has_normals: bool = True):
-    @jax.jit
+def make_eval_body(cfg: Config, model: CoFiI2P, has_normals: bool = True):
+    """Unjitted pipeline body — compose into larger programs (bench.py scans
+    it over a stream of batches so one dispatch covers many frames)."""
+
     def run(params, batch_stats, host_batch, rng):
         prep_rng, ransac_rng = jax.random.split(rng)
         batch = prepare_samples(
@@ -54,7 +56,8 @@ def make_eval_pipeline(cfg: Config, model: CoFiI2P, has_normals: bool = True):
             train=False,
         )
         fine_xy = fine_match_xy(
-            out["fine_img_patch"], out["fine_pc_feature"], out["fine_center_xy"]
+            out["fine_img_patch"], out["fine_pc_feature"], out["fine_center_xy"],
+            decode=cfg.fine_decode,
         )  # (B, S, 2) on the /2 image
         mask = out["inlier_mask"].astype(jnp.float32)
 
@@ -86,6 +89,10 @@ def make_eval_pipeline(cfg: Config, model: CoFiI2P, has_normals: bool = True):
         )
 
     return run
+
+
+def make_eval_pipeline(cfg: Config, model: CoFiI2P, has_normals: bool = True):
+    return jax.jit(make_eval_body(cfg, model, has_normals))
 
 
 def pose_errors_np(T_pred, P_gt):
