@@ -84,10 +84,17 @@ class Config:
     init_sigma: float = 2.0 * 0.1
 
     # KPConv neighbor aggregation (ops/banded.py):
-    #  'gather' — reference-parity kNN(neighbor_num) maps + row gathers;
-    #  'banded' — gather-free banded radius neighborhoods over the Morton
-    #             order (TPU-native; needs no kNN maps at all, so sample
-    #             prep skips every neighbor search too).
+    #  'gather'     — reference-parity kNN(neighbor_num) maps + row gathers;
+    #  'banded'     — gather-free banded radius neighborhoods over the Morton
+    #                 order (TPU-native; needs no kNN maps at all, so sample
+    #                 prep skips every neighbor search too);
+    #  'banded_knn' — the banded machinery with the reference's kNN
+    #                 semantics: per-query k-th-NN squared-distance
+    #                 thresholds (banded_knn_tau) decide membership on the
+    #                 fly, normalization is the within-tau count (== k), and
+    #                 per-layer kernel_points parameters are honored.  Exact
+    #                 vs 'gather' whenever the true k-NN sit inside the band;
+    #                 the fast path for reference-.t7 evaluation.
     # kpconv_band_width is the half-band at pyramid level 0; the FPN doubles
     # it per support level (the width needed for ~99% influence-mass
     # coverage scales that way — tools/band_study.py).

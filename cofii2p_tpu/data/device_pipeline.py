@@ -67,7 +67,7 @@ def _prepare_one(
         r_pyr,
         cfg.pyramid_sizes,
         cfg.neighbor_num,
-        need_maps=cfg.kpconv_impl != "banded",
+        need_maps=cfg.kpconv_impl not in ("banded", "banded_knn"),
         ordering=cfg.pyramid_ordering,
     )
     feats = jnp.take(feats, pyr["perm0"], axis=0)  # realign to Morton order

@@ -64,10 +64,14 @@ def main(argv=None):
     cfg = apply_overrides(get_config(args.dataset), args.overrides)
     if args.ckpt.endswith((".t7", ".pth")):
         # reference checkpoints were trained with kNN neighborhoods and carry
-        # per-layer kernel dispositions; evaluate them with the parity path
-        # and per-layer influence (an explicit override still wins)
+        # per-layer kernel dispositions; evaluate them with the banded_knn
+        # fast path (reference kNN semantics on the banded machinery, honors
+        # per-layer kernel_points — tests/test_banded_knn.py proves it equal
+        # to the gather parity path at full band coverage).  An explicit
+        # `kpconv_impl=gather` override selects the exact-gather path for
+        # spot parity checks (~10x slower: full kNN maps + row gathers).
         if not any(o.startswith("kpconv_impl=") for o in args.overrides):
-            cfg = cfg.replace(kpconv_impl="gather")
+            cfg = cfg.replace(kpconv_impl="banded_knn")
         if not any(o.startswith("kpconv_shared_influence=") for o in args.overrides):
             cfg = cfg.replace(kpconv_shared_influence=False)
     logger = setup_logger()

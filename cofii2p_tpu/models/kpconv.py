@@ -26,6 +26,7 @@ import numpy as np
 from cofii2p_tpu.models.kernel_points import load_kernel_points
 from cofii2p_tpu.models.layers import Linear, leaky_relu, norm_factory
 from cofii2p_tpu.ops.banded import (
+    banded_knn_tau,
     banded_kpconv_aggregate,
     banded_maxpool,
     banded_nearest_index,
@@ -102,6 +103,17 @@ class KPConv(nn.Module):
     ignored (may be None) and the neighborhood becomes "in-band points
     within kernel reach" with in-radius count normalization.  Parameters are
     identical between the two paths.
+
+    ``impl='banded_knn'`` keeps the banded machinery but reproduces the
+    reference's k-NN semantics: membership is {j in band : d2 <= tau_m}
+    where ``tau`` holds each query's k-th-NN squared distance
+    (ops/banded.banded_knn_tau), and normalization uses the within-tau
+    count (== k up to ties — the reference's active-row count,
+    kpconv.py:113-116, is likewise always H on real data).  Uses this
+    layer's own ``kernel_points`` parameter, so imported per-layer
+    reference dispositions are honored.  This is the fast path for
+    reference-checkpoint evaluation: exact whenever the true k-NN sit
+    inside the band (~98-99%+ of pairs, PERF.md).
     """
 
     out_channels: int
@@ -114,9 +126,10 @@ class KPConv(nn.Module):
     tile: int = 128
     band_width: int = 1024
     kernel: str = "xla"  # 'xla' | 'pallas' banded aggregation backend
+    knn_k: int = 128  # tau width when impl='banded_knn' and tau not given
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
         cin = s_feats.shape[-1]
         k = self.kernel_size
 
@@ -140,6 +153,72 @@ class KPConv(nn.Module):
         kernel_points = jax.lax.stop_gradient(
             self.param("kernel_points", lambda key, shape: jnp.asarray(kp_default), (k, 3))
         )
+
+        if self.impl == "banded_knn":
+            if tau is None:
+                tau = jax.vmap(
+                    lambda q, s: banded_knn_tau(
+                        q, s, self.knn_k, self.tile, self.band_width
+                    )
+                )(q_points, s_points)
+            use_pallas = self.kernel == "pallas" or (
+                self.kernel == "auto" and jax.default_backend() == "tpu"
+            )
+            if use_pallas:
+                from cofii2p_tpu.ops.kpconv_kernel import (
+                    banded_kpconv_aggregate_tau_pallas,
+                    banded_kpconv_fused_tau_pallas,
+                    fused_contraction_fits,
+                )
+
+                if fused_contraction_fits(k, cin, self.out_channels, self.tile):
+                    out, count = banded_kpconv_fused_tau_pallas(
+                        s_feats, q_points, s_points, weights, tau,
+                        kernel_points, self.radius, self.sigma, k, self.tile,
+                        self.band_width, self.dtype,
+                    )
+                    out = out / count[..., None].astype(out.dtype)
+                    if self.use_bias:
+                        bias = self.param(
+                            "bias",
+                            lambda key, shape: jax.random.uniform(
+                                key, shape, jnp.float32, -bound, bound
+                            ),
+                            (self.out_channels,),
+                        )
+                        out = out + bias
+                    return out
+
+                weighted, count = banded_kpconv_aggregate_tau_pallas(
+                    s_feats, q_points, s_points, tau, kernel_points,
+                    self.radius, self.sigma, k, self.tile, self.band_width,
+                    self.dtype,
+                )
+            else:
+                weighted, count = jax.vmap(
+                    lambda f, q, s, t: banded_kpconv_aggregate(
+                        f, q, s, self.radius, self.sigma, k,
+                        self.tile, self.band_width, self.dtype,
+                        tau=t, kp=kernel_points,
+                    )
+                )(s_feats, q_points, s_points, tau)
+            out = jnp.einsum(
+                "bmkc,kcd->bmd",
+                weighted.astype(self.dtype),
+                weights.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = out / count[..., None].astype(out.dtype)
+            if self.use_bias:
+                bias = self.param(
+                    "bias",
+                    lambda key, shape: jax.random.uniform(
+                        key, shape, jnp.float32, -bound, bound
+                    ),
+                    (self.out_channels,),
+                )
+                out = out + bias
+            return out
 
         if self.impl == "banded":
             use_pallas = self.kernel == "pallas" or (
@@ -277,14 +356,16 @@ class ConvBlock(nn.Module):
     tile: int = 128
     band_width: int = 1024
     kernel: str = "xla"
+    knn_k: int = 128
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, impl=self.impl, tile=self.tile,
-            band_width=self.band_width, kernel=self.kernel, name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices, influence)
+            band_width=self.band_width, kernel=self.kernel,
+            knn_k=self.knn_k, name="KPConv",
+        )(s_feats, q_points, s_points, neighbor_indices, influence, tau)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
 
@@ -305,9 +386,10 @@ class ResidualBlock(nn.Module):
     tile: int = 128
     band_width: int = 1024
     kernel: str = "xla"
+    knn_k: int = 128
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
         mid = self.out_channels // 4
 
         x = s_feats
@@ -316,8 +398,8 @@ class ResidualBlock(nn.Module):
         x = KPConv(
             mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype,
             impl=self.impl, tile=self.tile, band_width=self.band_width,
-            kernel=self.kernel, name="KPConv",
-        )(x, q_points, s_points, neighbor_indices, influence)
+            kernel=self.kernel, knn_k=self.knn_k, name="KPConv",
+        )(x, q_points, s_points, neighbor_indices, influence, tau)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
@@ -326,7 +408,34 @@ class ResidualBlock(nn.Module):
         )(x)
 
         if self.strided:
-            if self.impl == "banded":
+            if self.impl == "banded_knn":
+                # reference kNN maxpool semantics: max over the k nearest,
+                # no radius mask (functional.py:53-66)
+                if tau is None:
+                    tau = jax.vmap(
+                        lambda q, s: banded_knn_tau(
+                            q, s, self.knn_k, self.tile, self.band_width
+                        )
+                    )(q_points, s_points)
+                use_pallas = self.kernel == "pallas" or (
+                    self.kernel == "auto" and jax.default_backend() == "tpu"
+                )
+                if use_pallas:
+                    from cofii2p_tpu.ops.maxpool_kernel import (
+                        banded_maxpool_tau_pallas,
+                    )
+
+                    shortcut = banded_maxpool_tau_pallas(
+                        s_feats, q_points, s_points, tau, self.tile,
+                        self.band_width,
+                    )
+                else:
+                    shortcut = jax.vmap(
+                        lambda f, q, s, t: banded_maxpool(
+                            f, q, s, 0.0, self.tile, self.band_width, tau=t
+                        )
+                    )(s_feats, q_points, s_points, tau)
+            elif self.impl == "banded":
                 r_active = kernel_reach(self.radius, self.sigma, self.kernel_size)
                 use_pallas = self.kernel == "pallas" or (
                     self.kernel == "auto" and jax.default_backend() == "tpu"
@@ -386,6 +495,7 @@ class KPConvFPN(nn.Module):
     band_width: int = 1024
     band_plan: Any = None  # per-support-level widths; None = doubling rule
     kernel: str = "xla"
+    knn_k: int = 128  # tau width for impl='banded_knn'
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -396,7 +506,9 @@ class KPConvFPN(nn.Module):
     def __call__(self, feats, points, neighbors=None, subsampling=None, upsampling=None):
         d, ks = self.init_dim, self.kernel_size
         r, s = self.init_radius, self.init_sigma
-        banded = self.impl == "banded"
+        knn_mode = self.impl == "banded_knn"
+        mapless = self.impl in ("banded", "banded_knn")
+        banded = mapless  # gates the no-neighbor-map plumbing below
         shared = self.shared_influence
 
         def bw(support_lvl: int) -> int:
@@ -422,8 +534,20 @@ class KPConvFPN(nn.Module):
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
-                kernel=self.kernel,
+                kernel=self.kernel, knn_k=self.knn_k,
             )
+
+        def tau_for(q_pts, s_pts, support_lvl):
+            # one tau per (query level, support level) pair, shared by all
+            # sibling blocks — the banded_knn twin of the shared influence
+            # tensor below
+            if not knn_mode:
+                return None
+            return jax.vmap(
+                lambda q, sp: banded_knn_tau(
+                    q, sp, self.knn_k, self.tile, bw(support_lvl)
+                )
+            )(q_pts, s_pts)
 
         enc = {}
         nbr0 = None if banded else neighbors[0]
@@ -432,11 +556,12 @@ class KPConvFPN(nn.Module):
             if banded or not shared
             else kernel_influence(points[0], points[0], nbr0, r, s, ks)
         )
+        tau0 = tau_for(points[0], points[0], 0)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
-            feats, points[0], points[0], nbr0, inf0
+            feats, points[0], points[0], nbr0, inf0, tau0
         )
         x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw(0))(
-            x, points[0], points[0], nbr0, inf0
+            x, points[0], points[0], nbr0, inf0, tau0
         )
         enc[1] = x
 
@@ -459,6 +584,8 @@ class KPConvFPN(nn.Module):
                     r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,
                 )
             )
+            tau_cross = tau_for(points[lvl], points[lvl - 1], lvl - 1)
+            tau_self = tau_for(points[lvl], points[lvl], lvl)
             x = ResidualBlock(
                 cin,
                 cin,
@@ -468,7 +595,7 @@ class KPConvFPN(nn.Module):
                 strided=True,
                 name=f"encoder{stage}_1",
                 **kw(lvl - 1),
-            )(x, points[lvl], points[lvl - 1], sub)
+            )(x, points[lvl], points[lvl - 1], sub, None, tau_cross)
             x = ResidualBlock(
                 cin,
                 cout,
@@ -477,7 +604,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self)
             x = ResidualBlock(
                 cout,
                 cout,
@@ -486,7 +613,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self)
             enc[stage] = x
 
         def upsample(feats_coarse, lvl):

@@ -117,6 +117,7 @@ class CoFiI2P(nn.Module):
             band_width=cfg.kpconv_band_width,
             band_plan=cfg.kpconv_band_plan,
             kernel=cfg.kpconv_kernel,
+            knn_k=cfg.neighbor_num,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

@@ -119,6 +119,8 @@ def banded_kpconv_aggregate(
     tile: int = 128,
     band_width: int = 1024,
     dtype=jnp.float32,
+    tau: jax.Array | None = None,
+    kp: jax.Array | None = None,
 ):
     """Influence-weighted neighbor aggregation without gathers.
 
@@ -135,23 +137,48 @@ def banded_kpconv_aggregate(
       band_width: support half-band beyond the tile's own span (static).
       dtype: einsum compute dtype (bf16 halves the influence-tensor traffic;
         accumulation stays fp32).
+      tau: optional (M,) squared-distance thresholds (from banded_knn_tau).
+        When given, the neighborhood becomes {j in band : d2 <= tau_m} —
+        i.e. the reference's k-NN semantics (kpconv.py:92-116) instead of
+        the radius semantics — and count becomes the reference's exact
+        active-row rule |{j : d2 <= tau_m and sum_c feats[j] > 0}|
+        (kpconv.py:113-116 counts gathered rows with feature-sum > 0; on
+        wide post-LeakyReLU activations that is ~always k, but on the 4-dim
+        input features it is genuinely data-dependent).
+      kp: optional explicit (K, 3) kernel points (a traced array is fine) —
+        per-layer dispositions imported from a reference checkpoint.  The
+        reach mask stays at the canonical disposition's radius padded 10%
+        (rotations preserve kp norms; the import jitter is ~0.01): influence
+        is mathematically zero beyond each kernel point's own reach, so a
+        slightly generous static mask changes nothing.
 
     Returns:
       weighted (M, K, C) fp32, count (M,) int32.
     """
     m, n = q_points.shape[0], s_points.shape[0]
     c = s_feats.shape[-1]
-    kp = jnp.asarray(_load_kernel_points(radius, kernel_size), jnp.float32)
-    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    if kp is None:
+        kp = jnp.asarray(_load_kernel_points(radius, kernel_size), jnp.float32)
+        r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    else:
+        kp = jnp.asarray(kp, jnp.float32)
+        r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
 
-    def aggregate(q, p, f):
-        # q (T,3), p (band,3), f (band,C)
+    def aggregate(q, p, f, tau_t):
+        # q (T,3), p (band,3), f (band,C), tau_t (T,) or None
         offs = p[None, :, :] - q[:, None, :]  # (T, band, 3)
         infl, d2 = _influence(offs, kp, sigma)  # (T, band, K), (T, band)
-        within = d2 <= r2
+        if tau_t is None:
+            within = d2 <= r2
+            count = jnp.sum(within, axis=-1)
+        else:
+            within_tau = d2 <= tau_t[:, None]
+            within = within_tau & (d2 <= r2)
+            active = jnp.sum(f, axis=-1) > 0.0  # (band,)
+            count = jnp.sum(within_tau & active[None, :], axis=-1)
         infl = jnp.where(within[..., None], infl, 0.0)
-        count = jnp.maximum(jnp.sum(within, axis=-1), 1)  # (T,)
+        count = jnp.maximum(count, 1)  # (T,)
         weighted = jnp.einsum(
             "tbk,bc->tkc",
             infl.astype(dtype),
@@ -163,14 +190,18 @@ def banded_kpconv_aggregate(
     if dense:
         # checkpoint for the same reason as the banded scan below: the
         # (M, N, K) influence tensor must not be saved for the backward
-        return jax.checkpoint(aggregate)(q_points, s_points, s_feats)
+        return jax.checkpoint(aggregate)(q_points, s_points, s_feats, tau)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
         start = _band_start(t, tile, m, n, band)
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
-        return aggregate(q, p, f)
+        tau_t = (
+            None if tau is None
+            else jax.lax.dynamic_slice(tau, (t * tile,), (tile,))
+        )
+        return aggregate(q, p, f, tau_t)
 
     # checkpoint: without it, differentiating through the scan saves the
     # (tile, band, K) influence tensor of every step — tens of GB at KITTI
@@ -189,9 +220,15 @@ def banded_maxpool(
     r_active: float,
     tile: int = 128,
     band_width: int = 1024,
+    tau: jax.Array | None = None,
 ):
     """Max over in-radius band features (banded twin of neighbor_maxpool;
     reference functional.py:53-66 maxes over the kNN rows instead).
+
+    With ``tau`` (the (M,) squared k-NN thresholds from banded_knn_tau) the
+    membership becomes {j in band : d2 <= tau_m} — the reference's k-NN
+    maxpool semantics exactly (its kNN maxpool has NO radius mask: it maxes
+    over all H rows regardless of distance), and ``r_active`` is ignored.
 
     Empty neighborhoods yield zeros, like the reference's shadow rows.
     Returns (M, C) in the dtype of ``s_feats``.
@@ -207,9 +244,9 @@ def banded_maxpool(
     while c % cchunk:
         cchunk //= 2
 
-    def pool(q, p, f):
+    def pool(q, p, f, tau_t):
         d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
-        within = d2 <= r2
+        within = d2 <= (r2 if tau_t is None else tau_t[:, None])
         any_within = jnp.any(within, axis=-1)[..., None]
 
         if c == cchunk:
@@ -225,18 +262,67 @@ def banded_maxpool(
         return jnp.where(any_within, out, 0.0)
 
     if dense:
-        return jax.checkpoint(pool)(q_points, s_points, s_feats)
+        return jax.checkpoint(pool)(q_points, s_points, s_feats, tau)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
         start = _band_start(t, tile, m, n, band)
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
-        return pool(q, p, f)
+        tau_t = (
+            None if tau is None
+            else jax.lax.dynamic_slice(tau, (t * tile,), (tile,))
+        )
+        return pool(q, p, f, tau_t)
 
     # checkpoint: don't save the (tile, band, C) max masks across the scan
     out = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
     return out.reshape(m, c)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "band_width"))
+def banded_knn_tau(
+    q_points: jax.Array,
+    s_points: jax.Array,
+    k: int = 128,
+    tile: int = 128,
+    band_width: int = 1024,
+):
+    """Squared distance to each query's k-th nearest *in-band* support point.
+
+    This is the whole interface the reference's k-NN neighbor maps reduce to
+    under banding: the neighborhood {j : d2(m, j) <= tau_m} within the band
+    IS the k-NN set (the reference builds explicit (M, k) index maps on CPU,
+    preprocess_data.py:74-99, then gathers rows; here membership is decided
+    on the fly from coordinates, so no index tensor and no gathers exist).
+    Exact whenever the true k-NN lie inside the band — the same Morton-
+    locality assumption the banded radius path rests on, measured ~98-99%+
+    of pairs at the shipped band plan (band_coverage / PERF.md).
+
+    Returns (M,) float32 (biased up by float-eps so the f32 `d2 <= tau`
+    comparison downstream never drops the k-th neighbor itself to rounding).
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    kk = min(k, n)
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+
+    def tau_of(q, p):
+        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        kth = -jax.lax.top_k(-d2, kk)[0][:, -1]  # (T,)
+        # nextafter-style pad: keep the boundary neighbor on a >= compare
+        return kth * (1.0 + 1e-6) + 1e-12
+
+    if dense:
+        return tau_of(q_points, s_points)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        return tau_of(q, p)
+
+    out = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    return out.reshape(m)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "band_width"))

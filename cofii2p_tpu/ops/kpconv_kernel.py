@@ -393,6 +393,284 @@ banded_kpconv_aggregate_pallas.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# tau variant: reference k-NN semantics (membership {j : d2 <= tau_m}).
+# ---------------------------------------------------------------------------
+
+
+def _agg_kernel_tau(kp_ref, q_ref, pT_ref, f_ref, tau_ref, out_ref, cnt_ref,
+                    *, sigma, r2, cdtype):
+    """Like _agg_kernel, but membership comes from each query's k-NN
+    threshold: aggregation mask = (d2 <= tau) & (d2 <= r2) (influence is
+    zero beyond reach anyway — the r2 term only keeps the skip guard
+    effective), and the count is the reference's active-row rule
+    |{j : d2 <= tau, sum_c f_j > 0}| (kpconv.py:113-116), accumulated via a
+    (tile, bch) @ (bch, 1) MXU dot so the per-row activity vector never
+    needs a sublane->lane relayout.
+
+    tau_ref: (1, tile, 1) squared thresholds (banded_knn_tau).
+    """
+    bc = pl.program_id(2)
+
+    @pl.when(bc == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    kpj = kp_ref[...]  # (K, 3)
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref  # (tile, 3)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, bch)
+    tau = tau_ref[0]  # (tile, 1)
+    k_num = kpj.shape[0]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (tile, bch)
+
+    wtau = (d2 <= tau).astype(jnp.float32)  # (tile, bch)
+    wif = wtau * (d2 <= r2).astype(jnp.float32)
+    f_raw = f_ref[0, 0]  # (bch, C)
+    active = (
+        jnp.sum(f_raw.astype(jnp.float32), axis=1, keepdims=True) > 0.0
+    ).astype(jnp.float32)  # (bch, 1)
+    cnt_ref[0, :, :] += jnp.dot(
+        wtau, active, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jnp.sum(wif) > 0.0)
+    def _agg():
+        f = f_raw.astype(cdtype)
+        c = f.shape[-1]
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        kp2 = jnp.sum(kpj * kpj, axis=-1)
+
+        inv_sigma = 1.0 / sigma
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * wif).astype(cdtype)
+            acc = jnp.dot(infl, f, preferred_element_type=jnp.float32)
+            out_ref[0, :, k * c : (k + 1) * c] += acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def banded_kpconv_aggregate_tau_pallas(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    tau: jax.Array,
+    kp: jax.Array,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    tile: int = 128,
+    band_width: int = 1024,
+    dtype=jnp.float32,
+):
+    """Fused-kernel twin of the tau (k-NN-semantics) banded aggregation.
+
+    s_feats (B, N, C), q_points (B, M, 3), s_points (B, N, 3),
+    tau (B, M) squared k-NN thresholds, kp (K, 3) kernel points (traced —
+    per-layer imported dispositions).  Returns (weighted (B, M, K, C) fp32,
+    count (B, M) int32 — the reference active-row count).
+    """
+    return _tau_forward(
+        s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
+
+
+def _tau_forward(s_feats, q_points, s_points, tau, kp, radius, sigma,
+                 kernel_size, tile, band_width, dtype):
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    k_num = kp.shape[0]
+    # static reach mask, padded 10%: rotations preserve kp norms and the
+    # reference's per-load jitter is ~0.01, so the canonical reach bounds
+    # every imported disposition; influence is zero beyond each kernel
+    # point's own reach, so a generous mask changes nothing
+    r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+    tau3 = tau.reshape(b, m, 1)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
+    bch = _AGG_BCH if chunked else band
+    kernel = functools.partial(
+        _agg_kernel_tau, sigma=float(sigma), r2=float(r2),
+        cdtype=jnp.dtype(dtype),
+    )
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, num_tiles, band // bch),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, c), lambda bb, tt, bc: (bb, tt, bc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, k_num * c), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, k_num * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(kp.astype(jnp.float32), q_points, band_pT, band_f, tau3)
+
+    weighted = out.reshape(b, m, k_num, c)
+    count = jnp.maximum(cnt[..., 0], 1.0).astype(jnp.int32)
+    return weighted, count
+
+
+def _tau_fwd(s_feats, q_points, s_points, tau, kp, radius, sigma,
+             kernel_size, tile, band_width, dtype):
+    out = _tau_forward(
+        s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
+    return out, (s_feats, q_points, s_points, tau, kp)
+
+
+def _agg_bwd_kernel_tau(qsb_ref, kp_ref, q_ref, bs_ref, tau_ref, g_ref,
+                        pT_ref, out_ref, *, sigma, r2, band, cdtype):
+    """tau twin of _agg_bwd_kernel: forward membership reproduced as
+    (d2 <= tau) & (d2 <= r2) & band-window.  tau rides per query like the
+    band starts."""
+    ss = pl.program_id(1)
+    qq = pl.program_id(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    kpj = kp_ref[...]
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref
+    bs = bs_ref[...]  # (qtile, 1) int32
+    tau = tau_ref[0]  # (qtile, 1) f32 — block is (1, qtile, 1), batched
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    k_num = kpj.shape[0]
+    stile = pT.shape[-1]
+    c = out_ref.shape[-1]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+
+    j_abs = ss * stile + jax.lax.broadcasted_iota(jnp.int32, (1, stile), 1)
+    maskf = (
+        (d2 <= r2) & (d2 <= tau) & (bs <= j_abs) & (j_abs < bs + band)
+    ).astype(jnp.float32)
+
+    @pl.when(jnp.sum(maskf) > 0.0)
+    def _route():
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        kp2 = jnp.sum(kpj * kpj, axis=-1)
+
+        inv_sigma = 1.0 / sigma
+        acc = jnp.zeros((stile, c), jnp.float32)
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * maskf).astype(cdtype)
+            gk = g_ref[0, :, k * c : (k + 1) * c].astype(cdtype)
+            acc = acc + jax.lax.dot_general(
+                infl, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, :, :] += acc
+
+
+def _transpose_agg_tau(g_weighted, q_points, s_points, tau, kp, n, c, radius,
+                       sigma, kernel_size, tile, band_width, dtype):
+    """tau twin of _transpose_agg (shared by plain and fused tau VJPs)."""
+    b, m = q_points.shape[:2]
+    k_num = kp.shape[0]
+    r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
+    tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile_q, band, num_tiles)
+    stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
+    nq_sub = q_win // tile_q
+
+    bs_per_query = jnp.asarray(
+        starts[np.arange(m) // tile_q].astype(np.int32).reshape(m, 1)
+    )
+    pT = jnp.swapaxes(s_points.reshape(b, ns, stile, 3), -1, -2)
+    g2 = g_weighted.reshape(b, m, k_num * c)
+    tau2 = tau.reshape(b, m, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ns, nq_sub),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, ss, qq, qsb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 3), lambda bb, ss, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda bb, ss, qq, qsb: (qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 1), lambda bb, ss, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, k_num * c), lambda bb, ss, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, stile), lambda bb, ss, qq, qsb: (bb, ss, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, stile, c), lambda bb, ss, qq, qsb: (bb, ss, 0), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _agg_bwd_kernel_tau, sigma=float(sigma), r2=float(r2), band=int(band),
+        cdtype=jnp.dtype(dtype),
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    g_feats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(qstart_blk), kp.astype(jnp.float32), q_points,
+        bs_per_query, tau2, g2, pT,
+    )
+    return g_feats
+
+
+def _tau_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
+    s_feats, q_points, s_points, tau, kp = res
+    g_weighted, _ = g
+    n, c = s_feats.shape[-2:]
+    g_feats = _transpose_agg_tau(
+        g_weighted, q_points, s_points, tau, kp, n, c, radius, sigma,
+        kernel_size, tile, band_width, dtype,
+    )
+    return g_feats.astype(s_feats.dtype), None, None, None, None
+
+
+banded_kpconv_aggregate_tau_pallas.defvjp(_tau_fwd, _tau_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused variant: aggregation + kernel-weight contraction in one kernel.
 # ---------------------------------------------------------------------------
 
@@ -586,3 +864,185 @@ def _fused_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
 
 
 banded_kpconv_fused_pallas.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _agg_fused_kernel_tau(kp_ref, q_ref, pT_ref, f_ref, tau_ref, w_ref,
+                          out_ref, cnt_ref, acc_ref, *, sigma, r2, cdtype):
+    """tau twin of _agg_fused_kernel (see _agg_kernel_tau for the
+    membership/count rules)."""
+    bc = pl.program_id(2)
+    nbc = pl.num_programs(2)
+
+    @pl.when(bc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    kpj = kp_ref[...]
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    tau = tau_ref[0]  # (tile, 1)
+    k_num = kpj.shape[0]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+
+    wtau = (d2 <= tau).astype(jnp.float32)
+    wif = wtau * (d2 <= r2).astype(jnp.float32)
+    f_raw = f_ref[0, 0]
+    active = (
+        jnp.sum(f_raw.astype(jnp.float32), axis=1, keepdims=True) > 0.0
+    ).astype(jnp.float32)
+    cnt_ref[0, :, :] += jnp.dot(
+        wtau, active, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(jnp.sum(wif) > 0.0)
+    def _agg():
+        f = f_raw.astype(cdtype)
+        c = f.shape[-1]
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        kp2 = jnp.sum(kpj * kpj, axis=-1)
+
+        inv_sigma = 1.0 / sigma
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * wif).astype(cdtype)
+            acc_ref[:, k * c : (k + 1) * c] += jnp.dot(
+                infl, f, preferred_element_type=jnp.float32
+            )
+
+    @pl.when(bc == nbc - 1)
+    def _contract():
+        out_ref[0, :, :] = jnp.dot(
+            acc_ref[...].astype(cdtype), w_ref[...].astype(cdtype),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def banded_kpconv_fused_tau_pallas(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    weights: jax.Array,
+    tau: jax.Array,
+    kp: jax.Array,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    tile: int = 128,
+    band_width: int = 1024,
+    dtype=jnp.float32,
+):
+    """tau twin of banded_kpconv_fused_pallas: k-NN-semantics aggregation
+    fused with the (K, Cin, Cout) weight contraction.  Returns
+    (out (B, M, D) fp32 unnormalized, count (B, M) int32 active-row count).
+    """
+    return _fused_tau_forward(
+        s_feats, q_points, s_points, weights, tau, kp, radius, sigma,
+        kernel_size, tile, band_width, dtype,
+    )
+
+
+def _fused_tau_forward(s_feats, q_points, s_points, weights, tau, kp, radius,
+                       sigma, kernel_size, tile, band_width, dtype):
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    d_out = weights.shape[-1]
+    k_num = kp.shape[0]
+    r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+    w2 = weights.reshape(k_num * c, d_out)
+    tau3 = tau.reshape(b, m, 1)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
+    bch = _AGG_BCH if chunked else band
+    kernel = functools.partial(
+        _agg_fused_kernel_tau, sigma=float(sigma), r2=float(r2),
+        cdtype=jnp.dtype(dtype),
+    )
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, num_tiles, band // bch),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, c), lambda bb, tt, bc: (bb, tt, bc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_num * c, d_out), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d_out), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, k_num * c), jnp.float32)],
+        interpret=interpret,
+    )(kp.astype(jnp.float32), q_points, band_pT, band_f, tau3, w2)
+
+    count = jnp.maximum(cnt[..., 0], 1.0).astype(jnp.int32)
+    return out, count
+
+
+def _fused_tau_fwd(s_feats, q_points, s_points, weights, tau, kp, radius,
+                   sigma, kernel_size, tile, band_width, dtype):
+    weighted, count = _tau_forward(
+        s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
+        tile, band_width, dtype,
+    )
+    cdt = jnp.dtype(dtype)
+    out = jnp.einsum(
+        "bmkc,kcd->bmd", weighted.astype(cdt), weights.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return (out, count), (s_feats, q_points, s_points, weights, tau, kp, weighted)
+
+
+def _fused_tau_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
+    s_feats, q_points, s_points, weights, tau, kp, weighted = res
+    g_out, _ = g
+    n, c = s_feats.shape[-2:]
+    cdt = jnp.dtype(dtype)
+
+    g_weighted = jnp.einsum(
+        "bmd,kcd->bmkc", g_out.astype(cdt), weights.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    g_feats = _transpose_agg_tau(
+        g_weighted, q_points, s_points, tau, kp, n, c, radius, sigma,
+        kernel_size, tile, band_width, dtype,
+    )
+    g_w = jnp.einsum(
+        "bmkc,bmd->kcd", weighted.astype(cdt), g_out.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        g_feats.astype(s_feats.dtype), None, None,
+        g_w.astype(weights.dtype), None, None,
+    )
+
+
+banded_kpconv_fused_tau_pallas.defvjp(_fused_tau_fwd, _fused_tau_bwd)

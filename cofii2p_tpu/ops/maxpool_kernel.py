@@ -326,3 +326,217 @@ def _bwd(r_active, tile, band_width, res, g):
 
 
 banded_maxpool_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# tau variant: reference k-NN maxpool semantics (membership {j : d2 <= tau},
+# no radius mask — functional.py:53-66 maxes over all H kNN rows regardless
+# of distance).
+# ---------------------------------------------------------------------------
+
+
+def _maxpool_kernel_tau(q_ref, pT_ref, f_ref, tau_ref, out_ref, cnt_ref):
+    """tau twin of _maxpool_kernel; tau_ref (1, tile, 1) squared k-NN
+    thresholds replace the static r2."""
+    cj = pl.program_id(2)
+    bc = pl.program_id(3)
+    nbc = pl.num_programs(3)
+
+    @pl.when(bc == 0)
+    def _init():
+        out_ref[...] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
+
+    @pl.when((bc == 0) & (cj == 0))
+    def _init_cnt():
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    f = f_ref[0, 0]
+    tau = tau_ref[0]  # (tile, 1)
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    wi = (d2 <= tau).astype(jnp.float32)
+
+    @pl.when(cj == 0)
+    def _count():
+        cnt_ref[0, :, :] += jnp.sum(wi, axis=1, keepdims=True)
+
+    @pl.when(jnp.sum(wi) > 0.0)
+    def _pool():
+        cdt = f.dtype
+        pen = ((wi[:, :, None] - 1.0) * 1e30).astype(cdt)
+        cand = f[None, :, :] + pen
+        pooled = jnp.maximum(out_ref[0], jnp.max(cand, axis=1))
+        out_ref[0, :, :] = pooled
+
+    @pl.when(bc == nbc - 1)
+    def _finish():
+        hasf = (cnt_ref[0] > 0.0).astype(jnp.float32)
+        fixed = jnp.maximum(out_ref[0].astype(jnp.float32), -1e30) * hasf
+        out_ref[0, :, :] = fixed.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def banded_maxpool_tau_pallas(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    tau: jax.Array,
+    tile: int = 128,
+    band_width: int = 1024,
+):
+    """tau twin of banded_maxpool_pallas: membership from each query's
+    squared k-NN threshold (banded_knn_tau).  tau (B, M)."""
+    return _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
+
+
+def _tau_forward(s_feats, q_points, s_points, tau, tile, band_width):
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+    tau3 = tau.reshape(b, m, 1)
+
+    cc = 128 if c % 128 == 0 else c
+    interpret = jax.devices()[0].platform != "tpu"
+    bch = band if interpret else _row_chunk(band)
+    if _FORCE_CHUNKS is not None:
+        fc, fb = _FORCE_CHUNKS
+        cc, bch = fc or cc, fb or bch
+        assert c % cc == 0 and band % bch == 0, (c, cc, band, bch)
+    out, _ = pl.pallas_call(
+        _maxpool_kernel_tau,
+        grid=(b, num_tiles, c // cc, band // bch),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, cj, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, cc), lambda bb, tt, cj, bc: (bb, tt, bc, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, c), s_feats.dtype),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_points, band_pT, band_f, tau3)
+    return out
+
+
+def _tau_fwd(s_feats, q_points, s_points, tau, tile, band_width):
+    out = _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
+    return out, (s_feats, q_points, s_points, tau, out)
+
+
+def _maxpool_bwd_kernel_tau(
+    qsb_ref, q_ref, tref_ref, bs_ref, tau_ref, g_ref, o_ref, pT_ref, fs_ref,
+    out_ref, *, band
+):
+    """tau twin of _maxpool_bwd_kernel: membership (d2 <= tau) & band-window
+    (no radius mask)."""
+    ss = pl.program_id(1)
+    qq = pl.program_id(3)
+
+    @pl.when(qq == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ref = tref_ref[0, 0]
+    q = q_ref[0] - ref
+    bs = bs_ref[...]
+    tau = tau_ref[0]  # (qch, 1) — block is (1, qch, 1), batched
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    fs = fs_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    stile = pT.shape[-1]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    j_abs = ss * stile + jax.lax.broadcasted_iota(jnp.int32, (1, stile), 1)
+    mask = (d2 <= tau) & (bs <= j_abs) & (j_abs < bs + band)
+
+    maskf = mask.astype(jnp.float32)
+
+    @pl.when(jnp.sum(maskf) > 0.0)
+    def _route():
+        shift = (1.0 - maskf[:, :, None]) * 1e30
+        eq = fs[None, :, :] == (o[:, None, :] + shift)
+        out_ref[0, :, :] += jnp.sum(
+            jnp.where(eq, g[:, None, :], 0.0), axis=0
+        )
+
+
+def _tau_bwd(tile, band_width, res, g):
+    s_feats, q_points, s_points, tau, out = res
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile_q, band, num_tiles)
+    stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
+
+    qch = _QCH
+    while tile_q % qch:
+        qch //= 2
+    sub = tile_q // qch
+    nq_sub = (q_win // tile_q) * sub
+    qstart_sub = (qstart_blk.astype(np.int64) * sub).astype(np.int32)
+
+    cc = 128 if c % 128 == 0 else c
+    if _FORCE_CHUNKS is not None and _FORCE_CHUNKS[0]:
+        cc = _FORCE_CHUNKS[0]
+        assert c % cc == 0, (c, cc)
+    nc = c // cc
+
+    bs_per_query = jnp.asarray(
+        starts[np.arange(m) // tile_q].astype(np.int32).reshape(m, 1)
+    )
+    pT = jnp.swapaxes(s_points.reshape(b, ns, stile, 3), -1, -2)
+    fs = s_feats.reshape(b, ns, stile, c)
+    tref_idx = (np.arange(m // qch) * qch // tile_q) * tile_q
+    tile_refs = q_points[:, tref_idx, None, :]
+    tau2 = tau.reshape(b, m, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ns, nc, nq_sub),
+        in_specs=[
+            pl.BlockSpec((1, qch, 3), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 3), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qch, 1), lambda bb, ss, cj, qq, qsb: (qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qch, 1), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qch, cc), lambda bb, ss, cj, qq, qsb: (bb, qsb[ss] + qq, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, stile), lambda bb, ss, cj, qq, qsb: (bb, ss, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, stile, cc), lambda bb, ss, cj, qq, qsb: (bb, ss, 0, cj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, stile, cc), lambda bb, ss, cj, qq, qsb: (bb, ss, cj), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_maxpool_bwd_kernel_tau, band=int(band))
+    interpret = jax.devices()[0].platform != "tpu"
+    g_flat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(qstart_sub), q_points, tile_refs, bs_per_query, tau2,
+        g.astype(jnp.float32), out.astype(jnp.float32), pT, fs,
+    )
+    return g_flat.astype(s_feats.dtype), None, None, None
+
+
+banded_maxpool_tau_pallas.defvjp(_tau_fwd, _tau_bwd)

@@ -1,0 +1,205 @@
+"""banded_knn path: reference kNN semantics on the banded machinery.
+
+The load-bearing property: with bands that cover the whole support level,
+`impl='banded_knn'` must equal `impl='gather'` (the oracle-tested
+reference-parity path) *exactly* — same neighborhoods ({j : d2 <= tau} ==
+the k nearest), same counts (within-tau == active-row count == k), same
+per-layer kernel_points.  That makes the fast path's only approximation the
+band itself, which band_coverage / PERF.md quantify separately.
+
+Reference semantics matched: kNN neighbor maps
+/root/reference/model/kpconv/preprocess_data.py:74-99, aggregation + count
+model/kpconv/kpconv.py:92-116, kNN maxpool functional.py:53-66.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cofii2p_tpu.config import get_config
+from cofii2p_tpu.models.kpconv import KPConv, KPConvFPN, ResidualBlock
+from cofii2p_tpu.ops.banded import banded_knn_tau, banded_maxpool
+from cofii2p_tpu.ops.pyramid import build_pyramid
+
+FULL_BAND = 1 << 20  # band_width larger than any level -> band == whole level
+
+
+def _cloud(n, seed=0, scale=5.0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(n, 3) * scale).astype(np.float32)
+
+
+def test_knn_tau_matches_bruteforce():
+    q = jnp.asarray(_cloud(64, 1))
+    s = jnp.asarray(_cloud(128, 2))
+    k = 16
+    tau = banded_knn_tau(q, s, k=k, tile=128, band_width=FULL_BAND)
+    d2 = np.sum(
+        (np.asarray(q)[:, None, :] - np.asarray(s)[None, :, :]) ** 2, -1
+    )
+    kth = np.sort(d2, axis=1)[:, k - 1]
+    # tau sits on (just above) the k-th distance and admits exactly k points
+    np.testing.assert_allclose(np.asarray(tau), kth, rtol=1e-5)
+    counts = (d2 <= np.asarray(tau)[:, None]).sum(1)
+    assert (counts == k).all()
+
+
+def test_knn_tau_banded_scan_matches_dense():
+    # multi-tile path (m=256, tile=128) with a full-width band must agree
+    # with the dense single-tile computation
+    pts = jnp.asarray(_cloud(256, 3))
+    t_banded = banded_knn_tau(pts, pts, k=16, tile=128, band_width=FULL_BAND)
+    d2 = np.sum(
+        (np.asarray(pts)[:, None, :] - np.asarray(pts)[None, :, :]) ** 2, -1
+    )
+    kth = np.sort(d2, axis=1)[:, 15]
+    np.testing.assert_allclose(np.asarray(t_banded), kth, rtol=1e-5)
+
+
+def _exact_knn_sorted(q, s, k):
+    d2 = np.sum((q[:, None, :] - s[None, :, :]) ** 2, -1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return jnp.asarray(np.sort(idx, axis=1).astype(np.int32))
+
+
+@pytest.mark.parametrize("perturb_kp", [False, True])
+def test_kpconv_banded_knn_equals_gather_full_band(perturb_kp):
+    n, h, cin, cout = 256, 32, 8, 16
+    pts = jnp.asarray(_cloud(n, 4))[None]
+    feats = jnp.asarray(_cloud(n, 5)[:, :1].repeat(cin, 1))[None] * 0.3
+    nbr = _exact_knn_sorted(np.asarray(pts[0]), np.asarray(pts[0]), h)[None]
+
+    kw = dict(out_channels=cout, kernel_size=15, radius=0.9, sigma=0.45)
+    gather = KPConv(impl="gather", **kw)
+    knn = KPConv(impl="banded_knn", tile=128, band_width=FULL_BAND,
+                 knn_k=h, **kw)
+
+    params = gather.init(jax.random.PRNGKey(0), feats, pts, pts, nbr)
+    if perturb_kp:
+        # simulate an imported per-layer disposition: rotate the canonical
+        # kernel points (norm-preserving, like the reference's random
+        # per-construction rotation) — both paths must consume it
+        kp = params["params"]["kernel_points"]
+        th = 0.7
+        rot = jnp.asarray(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+            jnp.float32,
+        )
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["params"]["kernel_points"] = kp @ rot.T
+
+    out_g = gather.apply(params, feats, pts, pts, nbr)
+    out_k = knn.apply(params, feats, pts, pts)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_g), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_strided_residual_block_equivalence():
+    # cross-level: queries = 128-point subset, support = 256 points; the
+    # strided shortcut maxpool must take the reference kNN semantics
+    # (max over the k nearest, no radius mask)
+    n, m, h, cin, cout = 256, 128, 32, 16, 32
+    s_pts_np = _cloud(n, 6)
+    q_pts_np = s_pts_np[:m] + 0.01
+    s_pts, q_pts = jnp.asarray(s_pts_np)[None], jnp.asarray(q_pts_np)[None]
+    feats = jnp.asarray(_cloud(n, 7)[:, :1].repeat(cin, 1))[None] * 0.2
+    nbr = _exact_knn_sorted(q_pts_np, s_pts_np, h)[None]
+
+    kw = dict(in_channels=cin, out_channels=cout, kernel_size=15,
+              radius=0.9, sigma=0.45, strided=True, group_norm=8)
+    gather = ResidualBlock(impl="gather", **kw)
+    knn = ResidualBlock(impl="banded_knn", tile=128, band_width=FULL_BAND,
+                        knn_k=h, **kw)
+    params = gather.init(jax.random.PRNGKey(1), feats, q_pts, s_pts, nbr)
+    out_g = gather.apply(params, feats, q_pts, s_pts, nbr)
+    out_k = knn.apply(params, feats, q_pts, s_pts)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_g), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_banded_maxpool_tau_no_radius_mask():
+    # a far-away query still pools over its k nearest (reference kNN maxpool
+    # has no radius cutoff) — the radius path would return zeros
+    s = jnp.asarray(_cloud(128, 8))
+    q = s[:1] + 100.0
+    f = jnp.asarray(_cloud(128, 9)[:, :1].repeat(4, 1))
+    tau = banded_knn_tau(q, s, k=8, tile=128, band_width=FULL_BAND)
+    out_tau = banded_maxpool(f, q, s, 0.5, tile=128, band_width=FULL_BAND,
+                             tau=tau)
+    out_rad = banded_maxpool(f, q, s, 0.5, tile=128, band_width=FULL_BAND)
+    d2 = np.sum((np.asarray(q)[:, None] - np.asarray(s)[None]) ** 2, -1)[0]
+    knn8 = np.argsort(d2)[:8]
+    np.testing.assert_allclose(
+        np.asarray(out_tau)[0], np.asarray(f)[knn8].max(0), rtol=1e-6
+    )
+    assert (np.asarray(out_rad) == 0.0).all()
+
+
+@pytest.fixture(scope="module")
+def fpn_setup():
+    cfg = get_config("tiny")
+    sizes = cfg.pyramid_sizes  # (512, 256, 128, 64, 32)
+    h = cfg.neighbor_num  # 16
+    pts = jnp.asarray(_cloud(sizes[0], 10))[None]
+    pyr = jax.jit(
+        jax.vmap(
+            functools.partial(
+                build_pyramid, sizes=sizes, neighbor_num=h, approx=False,
+                ordering=cfg.pyramid_ordering,
+            )
+        )
+    )(pts, jax.random.split(jax.random.PRNGKey(2), 1))
+    feats = jnp.asarray(_cloud(sizes[0], 11)[:, :1].repeat(4, 1))[None] * 0.3
+    feats = jnp.take_along_axis(feats, pyr["perm0"][..., None], axis=1)
+    return cfg, pyr, feats, h
+
+
+def test_fpn_banded_knn_equals_gather(fpn_setup):
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+    )
+    gather = KPConvFPN(impl="gather", **kw)
+    knn = KPConvFPN(impl="banded_knn", tile=128, band_width=FULL_BAND,
+                    knn_k=h, **kw)
+    params = gather.init(
+        jax.random.PRNGKey(3), feats, pyr["points"], pyr["neighbors"],
+        pyr["subsampling"], pyr["upsampling"],
+    )
+    outs_g = gather.apply(
+        params, feats, pyr["points"], pyr["neighbors"], pyr["subsampling"],
+        pyr["upsampling"],
+    )
+    outs_k = knn.apply(params, feats, pyr["points"])
+    assert len(outs_g) == len(outs_k) == 4
+    for og, ok in zip(outs_g, outs_k):
+        np.testing.assert_allclose(
+            np.asarray(ok), np.asarray(og), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fpn_banded_knn_practical_band_close(fpn_setup):
+    # practical (non-covering) bands: outputs must stay close to the exact
+    # full-band result — this bounds the band approximation at model level
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+    )
+    full = KPConvFPN(impl="banded_knn", tile=128, band_width=FULL_BAND,
+                     knn_k=h, **kw)
+    narrow = KPConvFPN(impl="banded_knn", tile=128, band_width=128,
+                       knn_k=h, **kw)
+    params = full.init(jax.random.PRNGKey(4), feats, pyr["points"])
+    outs_f = full.apply(params, feats, pyr["points"])
+    outs_n = narrow.apply(params, feats, pyr["points"])
+    for of, on in zip(outs_f, outs_n):
+        of, on = np.asarray(of), np.asarray(on)
+        denom = np.abs(of).mean() + 1e-6
+        assert np.abs(of - on).mean() / denom < 0.15

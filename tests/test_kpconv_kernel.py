@@ -173,3 +173,152 @@ def test_fused_contraction_fits_gate():
     assert fused_contraction_fits(15, 32, 32)
     assert fused_contraction_fits(15, 256, 256)
     assert not fused_contraction_fits(15, 512, 512)
+
+
+# ---------------------------------------------------------------------------
+# tau (k-NN semantics) variants
+# ---------------------------------------------------------------------------
+
+
+def _tau_setup(b=2, n=256, c=16, k=24, seed=0, tile=64, band_width=64):
+    from cofii2p_tpu.ops.banded import banded_knn_tau
+
+    feats, pts = _setup(b=b, n=n, c=c, seed=seed)
+    tau = jax.vmap(
+        lambda q, s: banded_knn_tau(q, s, k=k, tile=tile, band_width=band_width)
+    )(pts, pts)
+    return feats, pts, tau
+
+
+def _ref_kp(radius, kernel_size, rot=0.3):
+    """A rotated disposition standing in for an imported per-layer buffer."""
+    from cofii2p_tpu.ops.banded import _load_kernel_points
+
+    kp = _load_kernel_points(radius, kernel_size)
+    c, s = np.cos(rot), np.sin(rot)
+    r = np.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    return jnp.asarray(kp @ r.T)
+
+
+def test_tau_matches_xla_banded_path():
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_aggregate_tau_pallas
+
+    feats, pts, tau = _tau_setup()
+    kp = _ref_kp(KW["radius"], KW["kernel_size"])
+    w_pl, cnt_pl = banded_kpconv_aggregate_tau_pallas(
+        feats, pts, pts, tau, kp, **KW
+    )
+    w_xla, cnt_xla = jax.vmap(
+        lambda f, q, s, t: banded_kpconv_aggregate(f, q, s, tau=t, kp=kp, **KW)
+    )(feats, pts, pts, tau)
+    np.testing.assert_allclose(
+        np.asarray(w_pl), np.asarray(w_xla), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_pl), np.asarray(cnt_xla))
+
+
+def test_tau_active_row_count():
+    # count must follow the reference's feature-sum>0 rule, not |{d2<=tau}|
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_aggregate_tau_pallas
+
+    # full-coverage band so the brute-force full-cloud expectation applies
+    feats, pts, tau = _tau_setup(b=1, c=4, band_width=512)
+    kw = dict(KW, band_width=512)
+    # force some rows inactive (all-negative features)
+    f = np.array(feats)
+    f[0, ::3] = -np.abs(f[0, ::3]) - 0.1
+    feats = jnp.asarray(f)
+    kp = _ref_kp(KW["radius"], KW["kernel_size"])
+    _, cnt = banded_kpconv_aggregate_tau_pallas(feats, pts, pts, tau, kp, **kw)
+    d2 = np.sum(
+        (np.asarray(pts)[0, :, None] - np.asarray(pts)[0, None]) ** 2, -1
+    )
+    active = f[0].sum(-1) > 0
+    expect = np.maximum(
+        ((d2 <= np.asarray(tau)[0][:, None]) & active[None, :]).sum(-1), 1
+    )
+    np.testing.assert_array_equal(np.asarray(cnt)[0], expect)
+
+
+def test_tau_gradient_matches_xla_path():
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_aggregate_tau_pallas
+
+    feats, pts, tau = _tau_setup(b=1, n=128, c=8, tile=32, band_width=32)
+    kw = dict(KW, tile=32, band_width=32)
+    kp = _ref_kp(KW["radius"], KW["kernel_size"])
+
+    def loss_pl(f):
+        w, _ = banded_kpconv_aggregate_tau_pallas(f, pts, pts, tau, kp, **kw)
+        return jnp.sum(w * w)
+
+    def loss_xla(f):
+        w, _ = jax.vmap(
+            lambda ff, q, s, t: banded_kpconv_aggregate(
+                ff, q, s, tau=t, kp=kp, **kw
+            )
+        )(f, pts, pts, tau)
+        return jnp.sum(w * w)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_tau_matches_unfused():
+    from cofii2p_tpu.ops.kpconv_kernel import (
+        banded_kpconv_aggregate_tau_pallas,
+        banded_kpconv_fused_tau_pallas,
+    )
+
+    feats, pts, tau = _tau_setup(c=8)
+    kp = _ref_kp(KW["radius"], KW["kernel_size"])
+    d_out = 12
+    rng = np.random.default_rng(5)
+    weights = jnp.asarray(
+        rng.normal(size=(KW["kernel_size"], 8, d_out)).astype(np.float32) * 0.1
+    )
+    out_f, cnt_f = banded_kpconv_fused_tau_pallas(
+        feats, pts, pts, weights, tau, kp, **KW
+    )
+    w_u, cnt_u = banded_kpconv_aggregate_tau_pallas(
+        feats, pts, pts, tau, kp, **KW
+    )
+    out_u = jnp.einsum("bmkc,kcd->bmd", w_u, weights)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_u), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+
+
+def test_fused_tau_gradients_match_unfused():
+    from cofii2p_tpu.ops.kpconv_kernel import (
+        banded_kpconv_aggregate_tau_pallas,
+        banded_kpconv_fused_tau_pallas,
+    )
+
+    feats, pts, tau = _tau_setup(b=1, n=128, c=8, tile=32, band_width=32)
+    kw = dict(KW, tile=32, band_width=32)
+    kp = _ref_kp(KW["radius"], KW["kernel_size"])
+    d_out = 12
+    rng = np.random.default_rng(6)
+    weights = jnp.asarray(
+        rng.normal(size=(KW["kernel_size"], 8, d_out)).astype(np.float32) * 0.1
+    )
+
+    def loss_f(f, w):
+        out, _ = banded_kpconv_fused_tau_pallas(f, pts, pts, w, tau, kp, **kw)
+        return jnp.sum(out * out)
+
+    def loss_u(f, w):
+        wt, _ = banded_kpconv_aggregate_tau_pallas(f, pts, pts, tau, kp, **kw)
+        out = jnp.einsum("bmkc,kcd->bmd", wt, w)
+        return jnp.sum(out * out)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(feats, weights)
+    gu = jax.grad(loss_u, argnums=(0, 1))(feats, weights)
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

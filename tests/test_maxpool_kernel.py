@@ -144,3 +144,56 @@ def test_gradient_strided_multitile():
     np.testing.assert_allclose(
         np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# tau (k-NN semantics) variant
+# ---------------------------------------------------------------------------
+
+
+def test_tau_matches_xla_banded_path():
+    from cofii2p_tpu.ops.banded import banded_knn_tau
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    feats, pts = _setup()
+    tau = jax.vmap(
+        lambda q, s: banded_knn_tau(q, s, k=12, tile=KW["tile"],
+                                    band_width=KW["band_width"])
+    )(pts, pts)
+    out_pl = banded_maxpool_tau_pallas(
+        feats, pts, pts, tau, KW["tile"], KW["band_width"]
+    )
+    out_xla = jax.vmap(
+        lambda f, q, s, t: banded_maxpool(
+            f, q, s, 0.0, KW["tile"], KW["band_width"], tau=t
+        )
+    )(feats, pts, pts, tau)
+    np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_xla))
+
+
+def test_tau_gradient_matches_xla_path():
+    from cofii2p_tpu.ops.banded import banded_knn_tau
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    feats, pts = _setup(b=1, n=128, c=8)
+    kw = dict(tile=32, band_width=32)
+    tau = jax.vmap(
+        lambda q, s: banded_knn_tau(q, s, k=12, **kw)
+    )(pts, pts)
+
+    def loss_pl(f):
+        return jnp.sum(
+            banded_maxpool_tau_pallas(f, pts, pts, tau, **kw) ** 2
+        )
+
+    def loss_xla(f):
+        out = jax.vmap(
+            lambda ff, q, s, t: banded_maxpool(ff, q, s, 0.0, tau=t, **kw)
+        )(f, pts, pts, tau)
+        return jnp.sum(out**2)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
