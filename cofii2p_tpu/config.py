@@ -122,6 +122,13 @@ class Config:
     # 'xla' (lax.map scan), or 'pallas' (fused VMEM kernel,
     # ops/kpconv_kernel.py; interpret-mode on CPU — slow, tests only)
     kpconv_kernel: str = "auto"
+    # Strided-shortcut maxpool formulation per SUPPORT level (None entries
+    # use the banded select kernel; an int k uses the compacted top-k form —
+    # ops/banded.banded_compact_maxpool — which selects each query's k
+    # nearest band rows and maxes over those, O(tile*k*C) instead of
+    # O(tile*band*C)).  The compacted form pays a top_k + k-row gather, so
+    # it wins where band >> k (deep levels) and loses at narrow bands.
+    maxpool_compact_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

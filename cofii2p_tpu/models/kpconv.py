@@ -26,6 +26,7 @@ import numpy as np
 from cofii2p_tpu.models.kernel_points import load_kernel_points
 from cofii2p_tpu.models.layers import Linear, leaky_relu, norm_factory
 from cofii2p_tpu.ops.banded import (
+    banded_compact_maxpool,
     banded_knn_tau,
     banded_kpconv_aggregate,
     banded_maxpool,
@@ -387,6 +388,9 @@ class ResidualBlock(nn.Module):
     band_width: int = 1024
     kernel: str = "xla"
     knn_k: int = 128
+    # 0 = banded select maxpool; k > 0 = compacted top-k maxpool
+    # (ops/banded.banded_compact_maxpool) for the strided shortcut
+    maxpool_compact: int = 0
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
@@ -408,7 +412,27 @@ class ResidualBlock(nn.Module):
         )(x)
 
         if self.strided:
-            if self.impl == "banded_knn":
+            if self.maxpool_compact > 0 and self.impl in ("banded", "banded_knn"):
+                # compacted top-k formulation (XLA): select each query's
+                # k nearest band rows, gather, max — no band rescan
+                if self.impl == "banded_knn":
+                    shortcut = jax.vmap(
+                        lambda f, q, s: banded_compact_maxpool(
+                            f, q, s, 0.0, self.knn_k, self.tile,
+                            self.band_width, knn=True,
+                        )
+                    )(s_feats, q_points, s_points)
+                else:
+                    r_active = kernel_reach(
+                        self.radius, self.sigma, self.kernel_size
+                    )
+                    shortcut = jax.vmap(
+                        lambda f, q, s: banded_compact_maxpool(
+                            f, q, s, r_active, self.maxpool_compact,
+                            self.tile, self.band_width,
+                        )
+                    )(s_feats, q_points, s_points)
+            elif self.impl == "banded_knn":
                 # reference kNN maxpool semantics: max over the k nearest,
                 # no radius mask (functional.py:53-66)
                 if tau is None:
@@ -496,6 +520,8 @@ class KPConvFPN(nn.Module):
     band_plan: Any = None  # per-support-level widths; None = doubling rule
     kernel: str = "xla"
     knn_k: int = 128  # tau width for impl='banded_knn'
+    # per-support-level compacted-maxpool ks (None entries = select kernel)
+    maxpool_compact_plan: Any = None
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -530,12 +556,22 @@ class KPConvFPN(nn.Module):
                 )
             return self.band_width * (2**support_lvl)
 
+        def mp_compact(support_lvl: int) -> int:
+            if self.maxpool_compact_plan is None:
+                return 0
+            if support_lvl < len(self.maxpool_compact_plan):
+                return int(self.maxpool_compact_plan[support_lvl] or 0)
+            return 0
+
         def kw(support_lvl: int) -> dict:
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
                 kernel=self.kernel, knn_k=self.knn_k,
             )
+
+        def kw_res(support_lvl: int) -> dict:
+            return dict(kw(support_lvl), maxpool_compact=mp_compact(support_lvl))
 
         def tau_for(q_pts, s_pts, support_lvl):
             # one tau per (query level, support level) pair, shared by all
@@ -594,7 +630,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 2),
                 strided=True,
                 name=f"encoder{stage}_1",
-                **kw(lvl - 1),
+                **kw_res(lvl - 1),
             )(x, points[lvl], points[lvl - 1], sub, None, tau_cross)
             x = ResidualBlock(
                 cin,

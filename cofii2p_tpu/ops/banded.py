@@ -280,6 +280,74 @@ def banded_maxpool(
     return out.reshape(m, c)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("r_active", "k", "tile", "band_width", "knn")
+)
+def banded_compact_maxpool(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    r_active: float,
+    k: int = 128,
+    tile: int = 128,
+    band_width: int = 1024,
+    knn: bool = False,
+):
+    """Compacted banded maxpool: max over the <=k NEAREST members.
+
+    The select formulation (banded_maxpool / the Pallas kernel) rescans the
+    whole band per query tile — O(tile * band * C) element ops even though
+    only <=~k rows are in reach of any query.  This variant first SELECTS
+    each query's k nearest band rows (lax.top_k over the banded d2), then
+    GATHERS those k rows and maxes — O(tile * k * C) ops plus a k-row
+    gather, a large win where band >> k (the deep levels).
+
+    knn=False (radius semantics): members = in-reach rows, CAPPED at the k
+      nearest.  Queries with more than k in-reach rows pool over the k
+      nearest only — strictly closer to the reference's own kNN(k=128)
+      maxpool (functional.py:53-66) than the uncapped banded radius
+      semantics, and identical to banded_maxpool whenever the in-reach
+      count <= k (the common case under the shipped band plan).
+    knn=True (reference kNN semantics): members = the k nearest in-band
+      rows, no radius mask — exactly the banded_knn maxpool, with top-k
+      index selection instead of the tau threshold (ties at the k-th
+      distance break by band order instead of admitting both; the tau path
+      admits all ties — an equivalence-class difference only).
+
+    s_feats (N, C), q_points (M, 3), s_points (N, 3) -> (M, C).
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    c = s_feats.shape[-1]
+    r2 = r_active * r_active
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    kk = min(k, band)
+    neg = jnp.asarray(-jnp.inf, s_feats.dtype)
+
+    def pool(q, p, f):
+        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
+        negk, rel = jax.lax.top_k(-d2, kk)  # nearest first
+        rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
+        if knn:
+            out = jnp.max(rows, axis=1)
+            return out if kk else jnp.zeros((q.shape[0], c), f.dtype)
+        member = -negk <= r2  # (T, kk)
+        out = jnp.max(jnp.where(member[..., None], rows, neg), axis=1)
+        return jnp.where(member.any(-1)[:, None], out, 0.0)
+
+    if dense:
+        return jax.checkpoint(pool)(q_points, s_points, s_feats)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
+        return pool(q, p, f)
+
+    out = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
+    return out.reshape(m, c)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "band_width"))
 def banded_knn_tau(
     q_points: jax.Array,
@@ -299,8 +367,16 @@ def banded_knn_tau(
     locality assumption the banded radius path rests on, measured ~98-99%+
     of pairs at the shipped band plan (band_coverage / PERF.md).
 
-    Returns (M,) float32 (biased up by float-eps so the f32 `d2 <= tau`
-    comparison downstream never drops the k-th neighbor itself to rounding).
+    Returns (M,) float32.  tau is placed at the MIDPOINT between the k-th
+    and (k+1)-th squared distances, not at the k-th itself: the consumers
+    (the Pallas kernels) compute d2 with tile-centered arithmetic that can
+    differ from this producer's by ~1e-3 at raw-LiDAR coordinate
+    magnitudes, far more than any eps-pad of the k-th distance can absorb.
+    A mid-gap threshold keeps membership stable under any arithmetic whose
+    error is below half the k/k+1 distance gap (typically >=1e-2 on
+    voxel-downsampled clouds).  When the k-th and (k+1)-th distances tie
+    (duplicate points), both are admitted — the reference's kNN breaks such
+    ties arbitrarily, so either set is equally faithful.
     """
     m, n = q_points.shape[0], s_points.shape[0]
     kk = min(k, n)
@@ -308,9 +384,13 @@ def banded_knn_tau(
 
     def tau_of(q, p):
         d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
-        kth = -jax.lax.top_k(-d2, kk)[0][:, -1]  # (T,)
-        # nextafter-style pad: keep the boundary neighbor on a >= compare
-        return kth * (1.0 + 1e-6) + 1e-12
+        if kk < d2.shape[-1]:
+            top = -jax.lax.top_k(-d2, kk + 1)[0]  # (T, kk+1) ascending
+            kth, nxt = top[:, -2], top[:, -1]
+        else:
+            kth = -jax.lax.top_k(-d2, kk)[0][:, -1]
+            nxt = kth * (1.0 + 2e-6) + 2e-12  # no (k+1)-th: eps-pad fallback
+        return 0.5 * (kth + nxt)
 
     if dense:
         return tau_of(q_points, s_points)

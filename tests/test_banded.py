@@ -126,6 +126,80 @@ class TestBandedMaxpoolNearest:
         oracle = np.where(within.any(-1)[..., None], oracle, 0.0)
         np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-6)
 
+    def test_compact_maxpool_radius_matches_select(self):
+        # where the in-reach count <= k, the compacted top-k form must equal
+        # banded_maxpool exactly; with k >= band it always does
+        rng = np.random.default_rng(14)
+        s = _cloud(512, rng)
+        q = s[::2]
+        feats = rng.normal(size=(512, 6)).astype(np.float32)
+        r = 1.0
+        args = (jnp.asarray(feats), jnp.asarray(q), jnp.asarray(s))
+        sel = banded.banded_maxpool(*args, r, tile=64, band_width=256)
+        comp = banded.banded_compact_maxpool(
+            *args, r, k=512, tile=64, band_width=256
+        )
+        np.testing.assert_array_equal(np.asarray(comp), np.asarray(sel))
+        # capped k: rows whose count <= k still agree
+        k = 16
+        comp_k = banded.banded_compact_maxpool(
+            *args, r, k=k, tile=64, band_width=256
+        )
+        within = ((q[:, None, :] - s[None, :, :]) ** 2).sum(-1) <= r * r
+        ok = within.sum(-1) <= k
+        assert ok.any()
+        np.testing.assert_array_equal(
+            np.asarray(comp_k)[ok], np.asarray(sel)[ok]
+        )
+
+    def test_compact_maxpool_knn_matches_bruteforce(self):
+        # knn=True: max over the k nearest (reference kNN maxpool), full band
+        rng = np.random.default_rng(15)
+        s = _cloud(256, rng)
+        q = _cloud(64, rng)
+        feats = rng.normal(size=(256, 5)).astype(np.float32)
+        k = 8
+        out = banded.banded_compact_maxpool(
+            jnp.asarray(feats), jnp.asarray(q), jnp.asarray(s), 0.0, k=k,
+            tile=64, band_width=512, knn=True,
+        )
+        d2 = ((q[:, None, :] - s[None, :, :]) ** 2).sum(-1)
+        knn_idx = np.argsort(d2, axis=1)[:, :k]
+        oracle = feats[knn_idx].max(1)
+        np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-6)
+
+    def test_compact_maxpool_gradient(self):
+        # autodiff routes the cotangent through gather+max (scatter to the
+        # argmax rows) — must match the select path's gradient where they
+        # agree on membership
+        rng = np.random.default_rng(16)
+        s = _cloud(256, rng)
+        q = s[::2]
+        feats = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32))
+        r = 1.0
+
+        def loss_comp(f):
+            return jnp.sum(
+                banded.banded_compact_maxpool(
+                    f, jnp.asarray(q), jnp.asarray(s), r, k=256, tile=64,
+                    band_width=256,
+                ) ** 2
+            )
+
+        def loss_sel(f):
+            return jnp.sum(
+                banded.banded_maxpool(
+                    f, jnp.asarray(q), jnp.asarray(s), r, tile=64,
+                    band_width=256,
+                ) ** 2
+            )
+
+        g_c = jax.grad(loss_comp)(feats)
+        g_s = jax.grad(loss_sel)(feats)
+        np.testing.assert_allclose(
+            np.asarray(g_c), np.asarray(g_s), rtol=1e-6, atol=1e-6
+        )
+
     def test_nearest_index_dense_exact(self):
         rng = np.random.default_rng(5)
         s = _cloud(256, rng)

@@ -40,10 +40,13 @@ def test_knn_tau_matches_bruteforce():
     d2 = np.sum(
         (np.asarray(q)[:, None, :] - np.asarray(s)[None, :, :]) ** 2, -1
     )
-    kth = np.sort(d2, axis=1)[:, k - 1]
-    # tau sits on (just above) the k-th distance and admits exactly k points
-    np.testing.assert_allclose(np.asarray(tau), kth, rtol=1e-5)
-    counts = (d2 <= np.asarray(tau)[:, None]).sum(1)
+    srt = np.sort(d2, axis=1)
+    kth, nxt = srt[:, k - 1], srt[:, k]
+    # tau sits mid-gap between the k-th and (k+1)-th distances (arithmetic-
+    # robust membership, see banded_knn_tau) and admits exactly k points
+    t = np.asarray(tau)
+    assert (kth <= t).all() and (t < nxt).all()
+    counts = (d2 <= t[:, None]).sum(1)
     assert (counts == k).all()
 
 
@@ -55,8 +58,10 @@ def test_knn_tau_banded_scan_matches_dense():
     d2 = np.sum(
         (np.asarray(pts)[:, None, :] - np.asarray(pts)[None, :, :]) ** 2, -1
     )
-    kth = np.sort(d2, axis=1)[:, 15]
-    np.testing.assert_allclose(np.asarray(t_banded), kth, rtol=1e-5)
+    srt = np.sort(d2, axis=1)
+    t = np.asarray(t_banded)
+    assert (srt[:, 15] <= t).all() and (t < srt[:, 16]).all()
+    assert ((d2 <= t[:, None]).sum(1) == 16).all()
 
 
 def _exact_knn_sorted(q, s, k):
@@ -181,6 +186,27 @@ def test_fpn_banded_knn_equals_gather(fpn_setup):
     for og, ok in zip(outs_g, outs_k):
         np.testing.assert_allclose(
             np.asarray(ok), np.asarray(og), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fpn_maxpool_compact_plan_wiring(fpn_setup):
+    # the compacted-maxpool plan must reach the strided shortcuts: with
+    # k >= band the compacted form equals the select form exactly, so the
+    # whole FPN output must be identical
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+        impl="banded", tile=128, band_width=FULL_BAND,
+    )
+    base = KPConvFPN(**kw)
+    compact = KPConvFPN(maxpool_compact_plan=(1 << 20,) * 5, **kw)
+    params = base.init(jax.random.PRNGKey(5), feats, pyr["points"])
+    outs_b = base.apply(params, feats, pyr["points"])
+    outs_c = compact.apply(params, feats, pyr["points"])
+    for ob, oc in zip(outs_b, outs_c):
+        np.testing.assert_allclose(
+            np.asarray(oc), np.asarray(ob), rtol=1e-6, atol=1e-6
         )
 
 

@@ -322,3 +322,4 @@ def test_fused_tau_gradients_match_unfused():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+

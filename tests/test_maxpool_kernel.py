@@ -197,3 +197,25 @@ def test_tau_gradient_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
     )
+
+
+def test_tau_direct_indexed_chunked(monkeypatch):
+    import cofii2p_tpu.ops.maxpool_kernel as mod
+    from cofii2p_tpu.ops.banded import banded_knn_tau
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    monkeypatch.setattr(mod, "_FORCE_CHUNKS", (None, 32))
+    feats, pts = _setup()
+    tau = jax.vmap(
+        lambda q, s: banded_knn_tau(q, s, k=12, tile=KW["tile"],
+                                    band_width=KW["band_width"])
+    )(pts, pts)
+    out_pl = banded_maxpool_tau_pallas(
+        feats, pts, pts, tau, KW["tile"], KW["band_width"]
+    )
+    out_xla = jax.vmap(
+        lambda f, q, s, t: banded_maxpool(
+            f, q, s, 0.0, KW["tile"], KW["band_width"], tau=t
+        )
+    )(feats, pts, pts, tau)
+    np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_xla))

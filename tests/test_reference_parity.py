@@ -252,3 +252,74 @@ def test_e2e_forward_parity(tmp_path, ref_model, cfg):
         "fine_pc_feature",
         2e-3,
     )
+
+
+def test_e2e_banded_knn_parity(tmp_path, ref_model, cfg):
+    """The banded_knn fast path (no maps, no gathers — the dataset-scale
+    .t7 evaluation path) agrees with the torch reference itself on the
+    genuine state_dict, with full-coverage bands: membership {d2 <= tau}
+    == the reference's kNN maps, active-row counts match, and per-layer
+    imported dispositions are honored by the banded kernels."""
+    model_t, _ = ref_model
+    cfg_knn = cfg.replace(
+        kpconv_impl="banded_knn",
+        kpconv_band_width=1 << 20,  # band == whole level -> exact kNN
+        kpconv_band_plan=None,
+    )
+    pyr, feats, img, centers, fine_idx = _build_inputs(cfg_knn)
+    batch = _our_batch(pyr, feats, img, centers, fine_idx)
+    model, params, stats = _bridged_params(tmp_path, model_t, cfg_knn, batch)
+
+    out = jax.device_get(
+        jax.jit(model.apply, static_argnames=("mode", "train"))(
+            {"params": params, "batch_stats": stats}, batch,
+            mode="train", train=False,
+        )
+    )
+
+    pc_data_dict, img_t, centers_t, fine_idx_t = _torch_inputs(
+        pyr, feats, img, centers, fine_idx
+    )
+    with torch.no_grad():
+        (
+            img_feature_norm,
+            pc_feature_norm,
+            coarse_img_score,
+            coarse_pc_score,
+            fine_img_patch,
+            fine_pc_feature,
+            _,
+            _,
+        ) = model_t(pc_data_dict, img_t, centers_t, None, fine_idx_t, "train")
+
+    def close(ours, theirs, name, atol):
+        ours = np.asarray(ours, np.float64)
+        theirs = np.asarray(theirs, np.float64)
+        assert ours.shape == theirs.shape, (name, ours.shape, theirs.shape)
+        diff = np.abs(ours - theirs).max()
+        assert diff <= atol, f"{name}: max abs diff {diff} > {atol}"
+
+    close(
+        np.moveaxis(out["img_feature_norm"][0], -1, 0),
+        img_feature_norm[0].numpy(),
+        "img_feature_norm",
+        2e-3,
+    )
+    close(
+        out["pc_feature_norm"][0].T,
+        pc_feature_norm.numpy(),
+        "pc_feature_norm",
+        2e-3,
+    )
+    close(
+        out["coarse_pc_score"][0],
+        coarse_pc_score[0, 0].numpy(),
+        "coarse_pc_score",
+        2e-3,
+    )
+    close(
+        out["fine_pc_feature"][0],
+        fine_pc_feature.numpy(),
+        "fine_pc_feature",
+        2e-3,
+    )
