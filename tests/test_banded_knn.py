@@ -210,6 +210,29 @@ def test_fpn_maxpool_compact_plan_wiring(fpn_setup):
         )
 
 
+def test_fpn_maxpool_compact_gradient(fpn_setup):
+    # training must differentiate through the compacted shortcut (top_k
+    # indices are non-diff; the cotangent routes through gather+max)
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+        impl="banded", tile=128, band_width=FULL_BAND,
+        maxpool_compact_plan=(1 << 20,) * 5,
+    )
+    fpn = KPConvFPN(**kw)
+    params = fpn.init(jax.random.PRNGKey(6), feats, pyr["points"])
+
+    def loss(p):
+        outs = fpn.apply(p, feats, pyr["points"])
+        return sum(jnp.sum(o**2) for o in outs)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_fpn_banded_knn_practical_band_close(fpn_setup):
     # practical (non-covering) bands: outputs must stay close to the exact
     # full-band result — this bounds the band approximation at model level

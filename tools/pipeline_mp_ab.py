@@ -1,0 +1,95 @@
+"""Full-pipeline A/B of the strided-shortcut maxpool formulation (TPU).
+
+Times the scan-streamed eval pipeline (same formulation as bench.py) under
+the default select-kernel maxpools vs a compacted-top-k plan, same
+everything else.
+
+Usage: python -m tools.pipeline_mp_ab [--plan 0,0,128,128] [--dtype bfloat16]
+  plan: comma-separated per-support-level ks, 0 = keep the select kernel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cofii2p_tpu.config import KITTIConfig
+    from cofii2p_tpu.data.loader import _collate
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.evaluation.pipeline import make_eval_body
+    from cofii2p_tpu.models import CoFiI2P
+    from cofii2p_tpu import train_lib
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plan", default="0,0,128,128")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--streams", type=int, default=3)
+    args = ap.parse_args()
+
+    plan = tuple(int(x) for x in args.plan.split(","))
+    batch, chunk = args.batch, args.chunk
+
+    def measure(cfg, label):
+        model = CoFiI2P(cfg)
+        ds = SyntheticDataset(cfg, "val", length=batch * chunk)
+        batches = [
+            _collate([ds[k * batch + i] for i in range(batch)])
+            for k in range(chunk)
+        ]
+        for hb in batches:
+            hb.pop("index", None)
+        stream = jax.device_put(jax.tree.map(lambda *xs: np.stack(xs), *batches))
+        host0 = jax.device_put(batches[0])
+        tx = train_lib.make_optimizer(cfg)
+        state = train_lib.init_state(
+            cfg, model, tx, jax.random.PRNGKey(0), host0
+        )
+        body = make_eval_body(cfg, model)
+
+        @jax.jit
+        def run_stream(params, batch_stats, stream, rngs):
+            def step(carry, xs):
+                batch_k, rng_k = xs
+                out = body(params, batch_stats, batch_k, rng_k)
+                return carry + jnp.sum(out.t), out.success
+
+            total, outs = jax.lax.scan(
+                step, jnp.zeros((), jnp.float32), (stream, rngs)
+            )
+            return total, outs
+
+        rngs0 = jax.random.split(jax.random.PRNGKey(0), chunk)
+        float(jax.device_get(
+            run_stream(state.params, state.batch_stats, stream, rngs0)[0]
+        ))
+        float(jax.device_get(
+            run_stream(state.params, state.batch_stats, stream, rngs0)[0]
+        ))
+        t0 = time.perf_counter()
+        res = None
+        for s in range(args.streams):
+            rngs = jax.random.split(jax.random.PRNGKey(s + 1), chunk)
+            res = run_stream(state.params, state.batch_stats, stream, rngs)
+        float(jax.device_get(res[0]))
+        dt = time.perf_counter() - t0
+        fps = args.streams * chunk * batch / dt
+        print(f"{label}: {fps:.2f} frames/s  ({dt / (args.streams * chunk) * 1e3:.1f} ms/batch)")
+        return fps
+
+    base = KITTIConfig(compute_dtype=args.dtype)
+    fps_a = measure(base, "select ")
+    comp = KITTIConfig(compute_dtype=args.dtype, maxpool_compact_plan=plan)
+    fps_b = measure(comp, f"compact {plan}")
+    print(f"speedup x{fps_b / fps_a:.3f}")
+
+
+if __name__ == "__main__":
+    main()
