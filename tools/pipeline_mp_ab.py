@@ -32,10 +32,37 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--streams", type=int, default=3)
+    ap.add_argument("--train", action="store_true",
+                    help="time the fused train step instead of eval")
     args = ap.parse_args()
 
     plan = tuple(int(x) for x in args.plan.split(","))
     batch, chunk = args.batch, args.chunk
+
+    def measure_train(cfg, label):
+        from cofii2p_tpu.utils.profiling import timeit_sync
+
+        model = CoFiI2P(cfg)
+        ds = SyntheticDataset(cfg, "train", length=batch)
+        host = _collate([ds[i] for i in range(batch)])
+        host.pop("index", None)
+        host = jax.device_put(host)
+        tx = train_lib.make_optimizer(cfg)
+        state = train_lib.init_state(
+            cfg, model, tx, jax.random.PRNGKey(0), host
+        )
+        step = train_lib.make_train_step(cfg, model, tx)
+
+        holder = {"state": state}
+
+        def one():
+            s2, m = step(holder["state"], host, jax.random.PRNGKey(1))
+            holder["state"] = s2
+            return m["loss"]
+
+        dt = timeit_sync(one, iters=6)
+        print(f"{label}: {dt*1e3:.1f} ms/step ({batch/dt:.2f} frames/s)")
+        return 1.0 / dt
 
     def measure(cfg, label):
         model = CoFiI2P(cfg)
@@ -84,10 +111,11 @@ def main():
         print(f"{label}: {fps:.2f} frames/s  ({dt / (args.streams * chunk) * 1e3:.1f} ms/batch)")
         return fps
 
+    meas = measure_train if args.train else measure
     base = KITTIConfig(compute_dtype=args.dtype)
-    fps_a = measure(base, "select ")
+    fps_a = meas(base, "select ")
     comp = KITTIConfig(compute_dtype=args.dtype, maxpool_compact_plan=plan)
-    fps_b = measure(comp, f"compact {plan}")
+    fps_b = meas(comp, f"compact {plan}")
     print(f"speedup x{fps_b / fps_a:.3f}")
 
 
