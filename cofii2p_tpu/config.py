@@ -129,6 +129,12 @@ class Config:
     # O(tile*band*C)).  The compacted form pays a top_k + k-row gather, so
     # it wins where band >> k (deep levels) and loses at narrow bands.
     maxpool_compact_plan: tuple | None = None
+    # KPConv aggregation formulation per SUPPORT level (None/0 entries use
+    # the full-band path — Pallas kernel on TPU; an int k uses the compacted
+    # top-k form, ops/banded.banded_compact_aggregate: influence over each
+    # query's k nearest band rows only, O(tile*k*K) VPU work instead of
+    # O(tile*band*K)).  Same win/lose geometry as maxpool_compact_plan.
+    aggregate_compact_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

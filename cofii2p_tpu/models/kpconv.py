@@ -26,6 +26,7 @@ import numpy as np
 from cofii2p_tpu.models.kernel_points import load_kernel_points
 from cofii2p_tpu.models.layers import Linear, leaky_relu, norm_factory
 from cofii2p_tpu.ops.banded import (
+    banded_compact_aggregate,
     banded_compact_maxpool,
     banded_knn_tau,
     banded_kpconv_aggregate,
@@ -128,6 +129,11 @@ class KPConv(nn.Module):
     band_width: int = 1024
     kernel: str = "xla"  # 'xla' | 'pallas' banded aggregation backend
     knn_k: int = 128  # tau width when impl='banded_knn' and tau not given
+    # 0 = full-band aggregation (XLA scan or Pallas kernel); k > 0 = compacted
+    # top-k aggregation (ops/banded.banded_compact_aggregate).  In
+    # impl='banded_knn' the cap is knn_k (exact kNN semantics) and this
+    # field only gates the formulation.
+    aggregate_compact: int = 0
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
@@ -154,6 +160,40 @@ class KPConv(nn.Module):
         kernel_points = jax.lax.stop_gradient(
             self.param("kernel_points", lambda key, shape: jnp.asarray(kp_default), (k, 3))
         )
+
+        if self.aggregate_compact > 0 and self.impl in ("banded", "banded_knn"):
+            # compacted top-k formulation (XLA): select each query's k
+            # nearest band rows, gather, and aggregate over (tile, k) instead
+            # of (tile, band).  knn mode passes the imported per-layer
+            # disposition (count ignores its padded reach); radius mode keeps
+            # kp=None so the in-reach count uses the exact canonical reach,
+            # matching banded_kpconv_aggregate bit-for-bit when counts <= k.
+            knn_mode = self.impl == "banded_knn"
+            kk = self.knn_k if knn_mode else self.aggregate_compact
+            weighted, count = jax.vmap(
+                lambda f, q, s: banded_compact_aggregate(
+                    f, q, s, self.radius, self.sigma, k, kk, self.tile,
+                    self.band_width, self.dtype, knn=knn_mode,
+                    kp=kernel_points if knn_mode else None,
+                )
+            )(s_feats, q_points, s_points)
+            out = jnp.einsum(
+                "bmkc,kcd->bmd",
+                weighted.astype(self.dtype),
+                weights.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = out / count[..., None].astype(out.dtype)
+            if self.use_bias:
+                bias = self.param(
+                    "bias",
+                    lambda key, shape: jax.random.uniform(
+                        key, shape, jnp.float32, -bound, bound
+                    ),
+                    (self.out_channels,),
+                )
+                out = out + bias
+            return out
 
         if self.impl == "banded_knn":
             if tau is None:
@@ -358,6 +398,7 @@ class ConvBlock(nn.Module):
     band_width: int = 1024
     kernel: str = "xla"
     knn_k: int = 128
+    aggregate_compact: int = 0
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
@@ -365,7 +406,8 @@ class ConvBlock(nn.Module):
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, impl=self.impl, tile=self.tile,
             band_width=self.band_width, kernel=self.kernel,
-            knn_k=self.knn_k, name="KPConv",
+            knn_k=self.knn_k, aggregate_compact=self.aggregate_compact,
+            name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices, influence, tau)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
@@ -391,6 +433,7 @@ class ResidualBlock(nn.Module):
     # 0 = banded select maxpool; k > 0 = compacted top-k maxpool
     # (ops/banded.banded_compact_maxpool) for the strided shortcut
     maxpool_compact: int = 0
+    aggregate_compact: int = 0
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
@@ -402,7 +445,8 @@ class ResidualBlock(nn.Module):
         x = KPConv(
             mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype,
             impl=self.impl, tile=self.tile, band_width=self.band_width,
-            kernel=self.kernel, knn_k=self.knn_k, name="KPConv",
+            kernel=self.kernel, knn_k=self.knn_k,
+            aggregate_compact=self.aggregate_compact, name="KPConv",
         )(x, q_points, s_points, neighbor_indices, influence, tau)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
@@ -522,6 +566,8 @@ class KPConvFPN(nn.Module):
     knn_k: int = 128  # tau width for impl='banded_knn'
     # per-support-level compacted-maxpool ks (None entries = select kernel)
     maxpool_compact_plan: Any = None
+    # per-support-level compacted-aggregation ks (None/0 = full-band path)
+    aggregate_compact_plan: Any = None
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -563,11 +609,19 @@ class KPConvFPN(nn.Module):
                 return int(self.maxpool_compact_plan[support_lvl] or 0)
             return 0
 
+        def agg_compact(support_lvl: int) -> int:
+            if self.aggregate_compact_plan is None:
+                return 0
+            if support_lvl < len(self.aggregate_compact_plan):
+                return int(self.aggregate_compact_plan[support_lvl] or 0)
+            return 0
+
         def kw(support_lvl: int) -> dict:
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
                 kernel=self.kernel, knn_k=self.knn_k,
+                aggregate_compact=agg_compact(support_lvl),
             )
 
         def kw_res(support_lvl: int) -> dict:

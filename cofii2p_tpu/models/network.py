@@ -119,6 +119,7 @@ class CoFiI2P(nn.Module):
             kernel=cfg.kpconv_kernel,
             knn_k=cfg.neighbor_num,
             maxpool_compact_plan=cfg.maxpool_compact_plan,
+            aggregate_compact_plan=cfg.aggregate_compact_plan,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

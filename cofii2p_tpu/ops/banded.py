@@ -348,6 +348,110 @@ def banded_compact_maxpool(
     return out.reshape(m, c)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "sigma", "kernel_size", "k", "tile", "band_width",
+        "dtype", "knn",
+    ),
+)
+def banded_compact_aggregate(
+    s_feats: jax.Array,
+    q_points: jax.Array,
+    s_points: jax.Array,
+    radius: float,
+    sigma: float,
+    kernel_size: int = 15,
+    k: int = 128,
+    tile: int = 128,
+    band_width: int = 1024,
+    dtype=jnp.float32,
+    knn: bool = False,
+    kp: jax.Array | None = None,
+):
+    """Compacted banded KPConv aggregation over the <=k NEAREST members.
+
+    banded_kpconv_aggregate computes influence for every (query, band row)
+    pair — O(tile * band * K) VPU work plus a (tile*K, band)@(band, C) MXU
+    dot — though at the deep levels only <=~k of each query's band rows are
+    within kernel reach.  This variant first SELECTS each query's k nearest
+    band rows (lax.top_k over the banded d2 — the same compaction as
+    banded_compact_maxpool), GATHERS those rows, and runs the influence +
+    contraction on the compacted (tile, k) neighborhood: O(tile * k * K)
+    VPU work and a T-batched (K, k)@(k, C) MXU dot.
+
+    knn=False (radius semantics): members = in-reach rows (d2 <= reach^2),
+      CAPPED at the k nearest.  ``count`` stays the UNCAPPED full-band
+      in-reach count, so the density normalization is identical to
+      banded_kpconv_aggregate; dropped rows (in-reach rank > k) sit near
+      the reach boundary where influence is smallest.  Identical to the
+      banded path whenever the in-reach count <= k.
+    knn=True (reference kNN semantics, kpconv.py:92-116): members = the k
+      nearest in-band rows, ``count`` = the reference's active-row rule
+      |{gathered rows : sum_c feats > 0}|.  Equivalent to the tau path
+      (banded_kpconv_aggregate(tau=banded_knn_tau(k))) — top-k index
+      selection replaces the distance threshold; ties at the k-th distance
+      break by band order instead of admitting both (equivalence-class
+      difference only, as in banded_compact_maxpool).
+
+    Returns (weighted (M, K, C) fp32, count (M,) int32) — the same contract
+    as banded_kpconv_aggregate; the caller contracts with the (K, C, Cout)
+    weights and divides by count.
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    c = s_feats.shape[-1]
+    if kp is None:
+        kp = jnp.asarray(_load_kernel_points(radius, kernel_size), jnp.float32)
+        r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    else:
+        # imported per-layer dispositions: rotations preserve kp norms, the
+        # import jitter is ~0.01 — a 10%-padded static reach changes nothing
+        # (influence is mathematically zero beyond each point's own reach)
+        kp = jnp.asarray(kp, jnp.float32)
+        r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    kk = min(k, band)
+
+    def aggregate(q, p, f):
+        # q (T,3), p (band,3), f (band,C)
+        d2full = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        _, rel = jax.lax.top_k(-d2full, kk)  # (T, kk), nearest first
+        p_rows = jnp.take(p, rel, axis=0)  # (T, kk, 3)
+        f_rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
+        offs = p_rows - q[:, None, :]
+        infl, d2k = _influence(offs, kp, sigma)  # (T, kk, K), (T, kk)
+        if knn:
+            active = jnp.sum(f_rows, axis=-1) > 0.0  # (T, kk)
+            count = jnp.sum(active, axis=-1)
+        else:
+            within = d2k <= r2
+            infl = jnp.where(within[..., None], infl, 0.0)
+            count = jnp.sum(d2full <= r2, axis=-1)  # uncapped, as banded
+        count = jnp.maximum(count, 1)
+        weighted = jnp.einsum(
+            "tqk,tqc->tkc",
+            infl.astype(dtype),
+            f_rows.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return weighted, count.astype(jnp.int32)
+
+    if dense:
+        return jax.checkpoint(aggregate)(q_points, s_points, s_feats)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
+        return aggregate(q, p, f)
+
+    # checkpoint: recompute the gather + influence in the backward instead
+    # of saving (tile, kk, K) influence and (tile, kk, C) rows per step
+    weighted, count = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
+    return weighted.reshape(m, kp.shape[0], c), count.reshape(m)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "band_width"))
 def banded_knn_tau(
     q_points: jax.Array,

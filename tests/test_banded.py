@@ -99,6 +99,96 @@ class TestBandedAggregate:
         oracle = np.einsum("mnk,nc->mkc", infl, feats)
         np.testing.assert_allclose(np.asarray(w), oracle, rtol=1e-4, atol=1e-4)
 
+    def test_compact_aggregate_radius_matches_banded(self):
+        # with k >= band the compacted top-k form sums the same member set
+        # (in nearest-first order) as the full-band path; capped k keeps
+        # queries whose in-reach count <= k identical
+        rng = np.random.default_rng(17)
+        s = _cloud(512, rng)
+        q = s[::2]
+        feats = rng.normal(size=(512, 8)).astype(np.float32)
+        radius, sigma = 0.85, 0.4
+        args = (jnp.asarray(feats), jnp.asarray(q), jnp.asarray(s))
+        w_full, cnt_full = banded.banded_kpconv_aggregate(
+            *args, radius, sigma, 15, tile=64, band_width=128
+        )
+        w_c, cnt_c = banded.banded_compact_aggregate(
+            *args, radius, sigma, 15, k=512, tile=64, band_width=128
+        )
+        np.testing.assert_array_equal(np.asarray(cnt_c), np.asarray(cnt_full))
+        np.testing.assert_allclose(
+            np.asarray(w_c), np.asarray(w_full), rtol=1e-4, atol=1e-5
+        )
+        # capped: count stays the full in-reach count; weighted agrees
+        # wherever the in-reach count <= k (pick k at the median count so the
+        # cap genuinely bites on some queries)
+        r = banded.kernel_reach(radius, sigma)
+        mask = _band_mask(256, 512, 64, 128)
+        within = (((q[:, None, :] - s[None, :, :]) ** 2).sum(-1) <= r * r) & mask
+        k = int(np.median(within.sum(-1)))
+        w_k, cnt_k = banded.banded_compact_aggregate(
+            *args, radius, sigma, 15, k=k, tile=64, band_width=128
+        )
+        np.testing.assert_array_equal(np.asarray(cnt_k), np.asarray(cnt_full))
+        ok = within.sum(-1) <= k
+        assert ok.any() and not ok.all()
+        np.testing.assert_allclose(
+            np.asarray(w_k)[ok], np.asarray(w_full)[ok], rtol=1e-4, atol=1e-5
+        )
+
+    def test_compact_aggregate_knn_matches_tau(self):
+        # knn=True must equal the tau path (banded_knn_tau threshold) — the
+        # same membership computed by top-k selection instead of threshold
+        rng = np.random.default_rng(18)
+        s = _cloud(512, rng)
+        q = s[::2]
+        feats = np.abs(rng.normal(size=(512, 8))).astype(np.float32)
+        feats[rng.choice(512, 40, replace=False)] = 0.0  # inactive rows
+        radius, sigma = 0.85, 0.4
+        k = 16
+        args = (jnp.asarray(feats), jnp.asarray(q), jnp.asarray(s))
+        tau = banded.banded_knn_tau(
+            jnp.asarray(q), jnp.asarray(s), k=k, tile=64, band_width=128
+        )
+        w_tau, cnt_tau = banded.banded_kpconv_aggregate(
+            *args, radius, sigma, 15, tile=64, band_width=128, tau=tau
+        )
+        w_c, cnt_c = banded.banded_compact_aggregate(
+            *args, radius, sigma, 15, k=k, tile=64, band_width=128, knn=True
+        )
+        np.testing.assert_array_equal(np.asarray(cnt_c), np.asarray(cnt_tau))
+        np.testing.assert_allclose(
+            np.asarray(w_c), np.asarray(w_tau), rtol=1e-4, atol=1e-5
+        )
+
+    def test_compact_aggregate_gradient(self):
+        # autodiff composes top_k/gather (scatter-add VJP) with the influence
+        # math — must match the full-band path's feature gradient at k >= band
+        rng = np.random.default_rng(19)
+        s = _cloud(256, rng)
+        q = s[::2]
+        feats = jnp.asarray(rng.normal(size=(256, 4)).astype(np.float32))
+        radius, sigma = 0.85, 0.4
+        qj, sj = jnp.asarray(q), jnp.asarray(s)
+
+        def loss_compact(f):
+            w, cnt = banded.banded_compact_aggregate(
+                f, qj, sj, radius, sigma, 15, k=256, tile=64, band_width=128
+            )
+            return jnp.sum((w / cnt[:, None, None]) ** 2)
+
+        def loss_full(f):
+            w, cnt = banded.banded_kpconv_aggregate(
+                f, qj, sj, radius, sigma, 15, tile=64, band_width=128
+            )
+            return jnp.sum((w / cnt[:, None, None]) ** 2)
+
+        g_c = jax.grad(loss_compact)(feats)
+        g_f = jax.grad(loss_full)(feats)
+        np.testing.assert_allclose(
+            np.asarray(g_c), np.asarray(g_f), rtol=1e-4, atol=1e-5
+        )
+
     def test_influence_mass_coverage(self):
         """On a Morton-ordered KITTI-like cloud the band loses ~no influence."""
         rng = np.random.default_rng(3)

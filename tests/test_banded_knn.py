@@ -233,6 +233,71 @@ def test_fpn_maxpool_compact_gradient(fpn_setup):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+def test_fpn_aggregate_compact_plan_wiring(fpn_setup):
+    # the compacted-aggregation plan must reach every KPConv: with k >= band
+    # the compacted form sums the same member set as the full-band path (in
+    # nearest-first order), so the FPN output agrees to fp32 roundoff
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+        impl="banded", tile=128, band_width=FULL_BAND,
+    )
+    base = KPConvFPN(**kw)
+    compact = KPConvFPN(aggregate_compact_plan=(1 << 20,) * 5, **kw)
+    params = base.init(jax.random.PRNGKey(7), feats, pyr["points"])
+    outs_b = base.apply(params, feats, pyr["points"])
+    outs_c = compact.apply(params, feats, pyr["points"])
+    for ob, oc in zip(outs_b, outs_c):
+        np.testing.assert_allclose(
+            np.asarray(oc), np.asarray(ob), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fpn_aggregate_compact_knn_equals_tau(fpn_setup):
+    # banded_knn + compacted aggregation (k = knn_k) selects the identical
+    # member set as the tau path — reference kNN semantics preserved
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+        impl="banded_knn", tile=128, band_width=FULL_BAND, knn_k=h,
+    )
+    tau_path = KPConvFPN(**kw)
+    compact = KPConvFPN(aggregate_compact_plan=(1,) * 5, **kw)
+    params = tau_path.init(jax.random.PRNGKey(8), feats, pyr["points"])
+    outs_t = tau_path.apply(params, feats, pyr["points"])
+    outs_c = compact.apply(params, feats, pyr["points"])
+    for ot, oc in zip(outs_t, outs_c):
+        np.testing.assert_allclose(
+            np.asarray(oc), np.asarray(ot), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fpn_aggregate_compact_gradient(fpn_setup):
+    # training must differentiate through the compacted aggregation (top_k
+    # indices are non-diff; cotangents route through the row gather)
+    cfg, pyr, feats, h = fpn_setup
+    kw = dict(
+        input_dim=4, output_dim=16, init_dim=16, kernel_size=15,
+        init_radius=0.9, init_sigma=0.45, group_norm=8,
+        impl="banded", tile=128, band_width=FULL_BAND,
+        aggregate_compact_plan=(1 << 20,) * 5,
+        maxpool_compact_plan=(1 << 20,) * 5,
+    )
+    fpn = KPConvFPN(**kw)
+    params = fpn.init(jax.random.PRNGKey(9), feats, pyr["points"])
+
+    def loss(p):
+        outs = fpn.apply(p, feats, pyr["points"])
+        return sum(jnp.sum(o**2) for o in outs)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_fpn_banded_knn_practical_band_close(fpn_setup):
     # practical (non-covering) bands: outputs must stay close to the exact
     # full-band result — this bounds the band approximation at model level

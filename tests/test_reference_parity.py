@@ -254,8 +254,10 @@ def test_e2e_forward_parity(tmp_path, ref_model, cfg):
     )
 
 
-@pytest.mark.parametrize("compact_mp", [False, True])
-def test_e2e_banded_knn_parity(tmp_path, ref_model, cfg, compact_mp):
+@pytest.mark.parametrize(
+    "compact_mp,compact_agg", [(False, False), (True, False), (True, True)]
+)
+def test_e2e_banded_knn_parity(tmp_path, ref_model, cfg, compact_mp, compact_agg):
     """The banded_knn fast path (no maps, no gathers — the dataset-scale
     .t7 evaluation path) agrees with the torch reference itself on the
     genuine state_dict, with full-coverage bands: membership {d2 <= tau}
@@ -263,14 +265,17 @@ def test_e2e_banded_knn_parity(tmp_path, ref_model, cfg, compact_mp):
     imported dispositions are honored by the banded kernels.
 
     compact_mp=True swaps the strided-shortcut maxpools for the compacted
-    top-k form (banded_compact_maxpool, knn=True) — proving that
-    formulation reference-faithful end-to-end too."""
+    top-k form (banded_compact_maxpool, knn=True); compact_agg=True swaps
+    the KPConv aggregations for banded_compact_aggregate (knn=True, per-
+    layer imported dispositions) — proving those formulations reference-
+    faithful end-to-end too."""
     model_t, _ = ref_model
     cfg_knn = cfg.replace(
         kpconv_impl="banded_knn",
         kpconv_band_width=1 << 20,  # band == whole level -> exact kNN
         kpconv_band_plan=None,
         maxpool_compact_plan=((128,) * 8 if compact_mp else None),
+        aggregate_compact_plan=((1,) * 8 if compact_agg else None),
     )
     pyr, feats, img, centers, fine_idx = _build_inputs(cfg_knn)
     batch = _our_batch(pyr, feats, img, centers, fine_idx)

@@ -96,6 +96,7 @@ def main():
         return jnp.sum(outs[0].astype(jnp.float32)) * 1e-9
 
     real_agg = agg_mod.banded_kpconv_aggregate_pallas
+    real_fused = agg_mod.banded_kpconv_fused_pallas
     real_mp = mp_mod.banded_maxpool_pallas
     real_near = kpconv_mod.banded_nearest_index
 
@@ -107,6 +108,16 @@ def main():
         w = w + jnp.mean(s_feats, axis=1)[:, None, None, :]  # keep data dep
         return w, jnp.ones((bq, m), jnp.int32)
 
+    def stub_fused(s_feats, q_points, s_points, weights, radius, sigma,
+                   kernel_size=15, tile=128, band_width=1024,
+                   dtype=jnp.float32):
+        # most convs (C <= 256) take the fused kernel, not the unfused one —
+        # stubbing only banded_kpconv_aggregate_pallas misses them entirely
+        bq, m = q_points.shape[:2]
+        out = jnp.zeros((bq, m, weights.shape[-1]), jnp.float32)
+        out = out + jnp.mean(s_feats, axis=1)[:, None, :1]  # keep data dep
+        return out, jnp.ones((bq, m), jnp.int32)
+
     def stub_mp(s_feats, q_points, s_points, r_active, tile=128, band_width=1024):
         step = s_feats.shape[1] // q_points.shape[1]
         return s_feats[:, ::step]
@@ -115,9 +126,11 @@ def main():
         m, n = q_points.shape[0], s_points.shape[0]
         return (jnp.arange(m, dtype=jnp.int32) * n) // m
 
-    # kpconv module binds names at import time — patch there
+    # the KPConv module imports these inside __call__ — patching the module
+    # attributes reaches both the fused and unfused dispatch
     def set_stubs(agg=False, mp=False, near=False):
         agg_mod.banded_kpconv_aggregate_pallas = stub_agg if agg else real_agg
+        agg_mod.banded_kpconv_fused_pallas = stub_fused if agg else real_fused
         kpconv_mod.banded_nearest_index = stub_near if near else real_near
         mp_mod.banded_maxpool_pallas = stub_mp if mp else real_mp
 

@@ -1,11 +1,13 @@
-"""Full-pipeline A/B of the strided-shortcut maxpool formulation (TPU).
+"""Full-pipeline A/B of the compacted kernel formulations (TPU).
 
 Times the scan-streamed eval pipeline (same formulation as bench.py) under
-the default select-kernel maxpools vs a compacted-top-k plan, same
-everything else.
+the default full-band kernels vs compacted-top-k plans (maxpool and/or
+KPConv aggregation), same everything else.
 
-Usage: python -m tools.pipeline_mp_ab [--plan 0,0,128,128] [--dtype bfloat16]
-  plan: comma-separated per-support-level ks, 0 = keep the select kernel.
+Usage: python -m tools.pipeline_mp_ab [--plan 0,0,128,128]
+         [--agg-plan 0,0,128,128] [--dtype bfloat16] [--train]
+  plan:     per-support-level maxpool ks, 0 = keep the select kernel.
+  agg-plan: per-support-level aggregation ks, 0 = keep the Pallas kernel.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--plan", default="0,0,128,128")
+    ap.add_argument("--agg-plan", default=None,
+                    help="aggregate_compact_plan; omit to keep the kernel")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=8)
@@ -114,8 +118,16 @@ def main():
     meas = measure_train if args.train else measure
     base = KITTIConfig(compute_dtype=args.dtype)
     fps_a = meas(base, "select ")
-    comp = KITTIConfig(compute_dtype=args.dtype, maxpool_compact_plan=plan)
-    fps_b = meas(comp, f"compact {plan}")
+    agg_plan = (
+        tuple(int(x) for x in args.agg_plan.split(","))
+        if args.agg_plan else None
+    )
+    comp = KITTIConfig(
+        compute_dtype=args.dtype,
+        maxpool_compact_plan=plan,
+        aggregate_compact_plan=agg_plan,
+    )
+    fps_b = meas(comp, f"compact mp={plan} agg={agg_plan}")
     print(f"speedup x{fps_b / fps_a:.3f}")
 
 
