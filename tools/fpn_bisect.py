@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="bisect the full eval body instead of the bare FPN "
+                    "(full minus all-stubs = the FPN kernels' in-context "
+                    "share of the whole pipeline)")
     args = ap.parse_args()
 
     cfg = KITTIConfig()
@@ -95,6 +99,21 @@ def main():
         outs = fpn.apply(fpn_params, feats, batch["points"])
         return jnp.sum(outs[0].astype(jnp.float32)) * 1e-9
 
+    if args.pipeline:
+        from cofii2p_tpu.evaluation.pipeline import make_eval_body
+
+        body = make_eval_body(cfg, model)
+        rng0 = jax.random.PRNGKey(0)
+
+        def pipe_one(pc):
+            out = body(
+                state.params, state.batch_stats, dict(host, pc=pc), rng0
+            )
+            return (
+                jnp.sum(out.t.astype(jnp.float32)) * 1e-9
+                + jnp.sum(out.success) * 0.0
+            )
+
     real_agg = agg_mod.banded_kpconv_aggregate_pallas
     real_fused = agg_mod.banded_kpconv_fused_pallas
     real_mp = mp_mod.banded_maxpool_pallas
@@ -134,18 +153,21 @@ def main():
         kpconv_mod.banded_nearest_index = stub_near if near else real_near
         mp_mod.banded_maxpool_pallas = stub_mp if mp else real_mp
 
-    feats0 = batch["feats"]
+    if args.pipeline:
+        one, x0, tag = pipe_one, host["pc"], "pipe"
+    else:
+        one, x0, tag = fpn_one, batch["feats"], "fpn"
     try:
         set_stubs()
-        chained_ms("fpn full", fpn_one, feats0)
+        chained_ms(f"{tag} full", one, x0)
         set_stubs(mp=True)
-        chained_ms("fpn - maxpool", fpn_one, feats0)
+        chained_ms(f"{tag} - maxpool", one, x0)
         set_stubs(agg=True)
-        chained_ms("fpn - agg", fpn_one, feats0)
+        chained_ms(f"{tag} - agg", one, x0)
         set_stubs(near=True)
-        chained_ms("fpn - nearest", fpn_one, feats0)
+        chained_ms(f"{tag} - nearest", one, x0)
         set_stubs(agg=True, mp=True, near=True)
-        chained_ms("fpn - all three", fpn_one, feats0)
+        chained_ms(f"{tag} - all three", one, x0)
     finally:
         set_stubs()
     print(json.dumps(results))
