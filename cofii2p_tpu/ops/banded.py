@@ -280,8 +280,22 @@ def banded_maxpool(
     return out.reshape(m, c)
 
 
+def _nearest_k(d2: jax.Array, kk: int, approx: bool):
+    """Indices (and negated d2) of the kk nearest rows along the last axis.
+
+    approx=True uses lax.approx_max_k — the TPU-optimized partial-reduce
+    selection (recall ~0.95 per partition) instead of top_k's full sort.
+    For radius semantics the member set is {d2 <= r2} capped at kk, so a
+    rare miss swaps one near-boundary member for another — the XLA CPU
+    lowering is exact, keeping CPU tests deterministic."""
+    if approx:
+        return jax.lax.approx_max_k(-d2, kk, recall_target=0.95)
+    return jax.lax.top_k(-d2, kk)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("r_active", "k", "tile", "band_width", "knn")
+    jax.jit,
+    static_argnames=("r_active", "k", "tile", "band_width", "knn", "approx"),
 )
 def banded_compact_maxpool(
     s_feats: jax.Array,
@@ -292,6 +306,7 @@ def banded_compact_maxpool(
     tile: int = 128,
     band_width: int = 1024,
     knn: bool = False,
+    approx: bool = False,
 ):
     """Compacted banded maxpool: max over the <=k NEAREST members.
 
@@ -325,7 +340,7 @@ def banded_compact_maxpool(
 
     def pool(q, p, f):
         d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
-        negk, rel = jax.lax.top_k(-d2, kk)  # nearest first
+        negk, rel = _nearest_k(d2, kk, approx)  # nearest first
         rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
         if knn:
             out = jnp.max(rows, axis=1)
@@ -352,7 +367,7 @@ def banded_compact_maxpool(
     jax.jit,
     static_argnames=(
         "radius", "sigma", "kernel_size", "k", "tile", "band_width",
-        "dtype", "knn",
+        "dtype", "knn", "approx",
     ),
 )
 def banded_compact_aggregate(
@@ -368,6 +383,7 @@ def banded_compact_aggregate(
     dtype=jnp.float32,
     knn: bool = False,
     kp: jax.Array | None = None,
+    approx: bool = False,
 ):
     """Compacted banded KPConv aggregation over the <=k NEAREST members.
 
@@ -415,7 +431,7 @@ def banded_compact_aggregate(
     def aggregate(q, p, f):
         # q (T,3), p (band,3), f (band,C)
         d2full = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
-        _, rel = jax.lax.top_k(-d2full, kk)  # (T, kk), nearest first
+        _, rel = _nearest_k(d2full, kk, approx)  # (T, kk), nearest first
         p_rows = jnp.take(p, rel, axis=0)  # (T, kk, 3)
         f_rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
         offs = p_rows - q[:, None, :]

@@ -161,6 +161,32 @@ class TestBandedAggregate:
             np.asarray(w_c), np.asarray(w_tau), rtol=1e-4, atol=1e-5
         )
 
+    def test_compact_approx_selection_cpu_exact(self):
+        # approx=True (lax.approx_max_k — the TPU partial-reduce selection)
+        # lowers to an exact selection on CPU, so both compact ops must
+        # reproduce their top_k results bit-for-bit here; on TPU the studies
+        # A/B the recall trade (tools/compact_mp_study --approx)
+        rng = np.random.default_rng(20)
+        s = _cloud(512, rng)
+        q = s[::2]
+        feats = rng.normal(size=(512, 8)).astype(np.float32)
+        args = (jnp.asarray(feats), jnp.asarray(q), jnp.asarray(s))
+        mp_e = banded.banded_compact_maxpool(*args, 1.0, k=32, tile=64, band_width=128)
+        mp_a = banded.banded_compact_maxpool(
+            *args, 1.0, k=32, tile=64, band_width=128, approx=True
+        )
+        np.testing.assert_array_equal(np.asarray(mp_a), np.asarray(mp_e))
+        w_e, c_e = banded.banded_compact_aggregate(
+            *args, 0.85, 0.4, 15, k=32, tile=64, band_width=128
+        )
+        w_a, c_a = banded.banded_compact_aggregate(
+            *args, 0.85, 0.4, 15, k=32, tile=64, band_width=128, approx=True
+        )
+        np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_e))
+        np.testing.assert_allclose(
+            np.asarray(w_a), np.asarray(w_e), rtol=1e-6, atol=1e-7
+        )
+
     def test_compact_aggregate_gradient(self):
         # autodiff composes top_k/gather (scatter-add VJP) with the influence
         # math — must match the full-band path's feature gradient at k >= band

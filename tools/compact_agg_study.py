@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--inner", type=int, default=4)
     ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--approx", action="store_true",
+                    help="approx_max_k selection instead of top_k")
     args = ap.parse_args()
 
     cfg = KITTIConfig()
@@ -123,7 +125,7 @@ def main():
         def compact(fe, qq, ss):
             w, cnt = jax.vmap(
                 lambda f1, q1, s1: banded_compact_aggregate(
-                    f1, q1, s1, r, s, ks, k, tile, band
+                    f1, q1, s1, r, s, ks, k, tile, band, approx=args.approx
                 )
             )(fe, qq, ss)
             out = jnp.einsum(

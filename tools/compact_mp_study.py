@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--inner", type=int, default=4)
     ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--approx", action="store_true",
+                    help="approx_max_k selection instead of top_k (radius "
+                    "variant only; the kNN parity variant stays exact)")
     args = ap.parse_args()
 
     cfg = KITTIConfig()
@@ -101,7 +104,7 @@ def main():
 
         comp_r = jax.vmap(
             lambda f1, q1, s1: banded_compact_maxpool(
-                f1, q1, s1, r_act, k, tile, band
+                f1, q1, s1, r_act, k, tile, band, approx=args.approx
             )
         )
         t_c = timeit_sync(
