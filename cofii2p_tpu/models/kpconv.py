@@ -28,6 +28,7 @@ from cofii2p_tpu.models.layers import Linear, leaky_relu, norm_factory
 from cofii2p_tpu.ops.banded import (
     banded_compact_aggregate,
     banded_compact_maxpool,
+    banded_knn_select,
     banded_knn_tau,
     banded_kpconv_aggregate,
     banded_maxpool,
@@ -136,7 +137,7 @@ class KPConv(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
         cin = s_feats.shape[-1]
         k = self.kernel_size
 
@@ -170,13 +171,24 @@ class KPConv(nn.Module):
             # matching banded_kpconv_aggregate bit-for-bit when counts <= k.
             knn_mode = self.impl == "banded_knn"
             kk = self.knn_k if knn_mode else self.aggregate_compact
-            weighted, count = jax.vmap(
-                lambda f, q, s: banded_compact_aggregate(
-                    f, q, s, self.radius, self.sigma, k, kk, self.tile,
-                    self.band_width, self.dtype, knn=knn_mode,
-                    kp=kernel_points if knn_mode else None,
-                )
-            )(s_feats, q_points, s_points)
+            if rel is not None:
+                # shared selection (banded_knn_select, nearest-first): the
+                # first kk columns ARE the kk-nearest selection
+                weighted, count = jax.vmap(
+                    lambda f, q, s, r_: banded_compact_aggregate(
+                        f, q, s, self.radius, self.sigma, k, kk, self.tile,
+                        self.band_width, self.dtype, knn=knn_mode,
+                        kp=kernel_points if knn_mode else None, rel=r_,
+                    )
+                )(s_feats, q_points, s_points, rel[..., :kk])
+            else:
+                weighted, count = jax.vmap(
+                    lambda f, q, s: banded_compact_aggregate(
+                        f, q, s, self.radius, self.sigma, k, kk, self.tile,
+                        self.band_width, self.dtype, knn=knn_mode,
+                        kp=kernel_points if knn_mode else None,
+                    )
+                )(s_feats, q_points, s_points)
             out = jnp.einsum(
                 "bmkc,kcd->bmd",
                 weighted.astype(self.dtype),
@@ -401,14 +413,14 @@ class ConvBlock(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, impl=self.impl, tile=self.tile,
             band_width=self.band_width, kernel=self.kernel,
             knn_k=self.knn_k, aggregate_compact=self.aggregate_compact,
             name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices, influence, tau)
+        )(s_feats, q_points, s_points, neighbor_indices, influence, tau, rel)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
 
@@ -436,7 +448,7 @@ class ResidualBlock(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
         mid = self.out_channels // 4
 
         x = s_feats
@@ -447,7 +459,7 @@ class ResidualBlock(nn.Module):
             impl=self.impl, tile=self.tile, band_width=self.band_width,
             kernel=self.kernel, knn_k=self.knn_k,
             aggregate_compact=self.aggregate_compact, name="KPConv",
-        )(x, q_points, s_points, neighbor_indices, influence, tau)
+        )(x, q_points, s_points, neighbor_indices, influence, tau, rel)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
@@ -459,21 +471,24 @@ class ResidualBlock(nn.Module):
             if self.maxpool_compact > 0 and self.impl in ("banded", "banded_knn"):
                 # compacted top-k formulation (XLA): select each query's
                 # k nearest band rows, gather, max — no band rescan
-                if self.impl == "banded_knn":
+                knn_mode = self.impl == "banded_knn"
+                mp_k = self.knn_k if knn_mode else self.maxpool_compact
+                r_active = (
+                    0.0 if knn_mode
+                    else kernel_reach(self.radius, self.sigma, self.kernel_size)
+                )
+                if rel is not None:
                     shortcut = jax.vmap(
-                        lambda f, q, s: banded_compact_maxpool(
-                            f, q, s, 0.0, self.knn_k, self.tile,
-                            self.band_width, knn=True,
+                        lambda f, q, s, r_: banded_compact_maxpool(
+                            f, q, s, r_active, mp_k, self.tile,
+                            self.band_width, knn=knn_mode, rel=r_,
                         )
-                    )(s_feats, q_points, s_points)
+                    )(s_feats, q_points, s_points, rel[..., :mp_k])
                 else:
-                    r_active = kernel_reach(
-                        self.radius, self.sigma, self.kernel_size
-                    )
                     shortcut = jax.vmap(
                         lambda f, q, s: banded_compact_maxpool(
-                            f, q, s, r_active, self.maxpool_compact,
-                            self.tile, self.band_width,
+                            f, q, s, r_active, mp_k, self.tile,
+                            self.band_width, knn=knn_mode,
                         )
                     )(s_feats, q_points, s_points)
             elif self.impl == "banded_knn":
@@ -639,6 +654,21 @@ class KPConvFPN(nn.Module):
                 )
             )(q_pts, s_pts)
 
+        def rel_for(q_pts, s_pts, support_lvl, agg_k, mp_k=0):
+            # one nearest-first selection per (query level, support level)
+            # pair, shared by every compacted consumer on it (convs slice
+            # the first agg_k columns, the shortcut maxpool the first mp_k)
+            # — amortizes the top_k across sibling blocks, like tau above
+            ks = [x for x in (agg_k, mp_k) if x > 0]
+            if not ks:
+                return None
+            kmax = self.knn_k if knn_mode else max(ks)
+            return jax.vmap(
+                lambda q, sp: banded_knn_select(
+                    q, sp, kmax, self.tile, bw(support_lvl)
+                )
+            )(q_pts, s_pts)
+
         enc = {}
         nbr0 = None if banded else neighbors[0]
         inf0 = (
@@ -647,11 +677,12 @@ class KPConvFPN(nn.Module):
             else kernel_influence(points[0], points[0], nbr0, r, s, ks)
         )
         tau0 = tau_for(points[0], points[0], 0)
+        rel0 = rel_for(points[0], points[0], 0, agg_compact(0))
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
-            feats, points[0], points[0], nbr0, inf0, tau0
+            feats, points[0], points[0], nbr0, inf0, tau0, rel0
         )
         x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw(0))(
-            x, points[0], points[0], nbr0, inf0, tau0
+            x, points[0], points[0], nbr0, inf0, tau0, rel0
         )
         enc[1] = x
 
@@ -676,6 +707,11 @@ class KPConvFPN(nn.Module):
             )
             tau_cross = tau_for(points[lvl], points[lvl - 1], lvl - 1)
             tau_self = tau_for(points[lvl], points[lvl], lvl)
+            rel_cross = rel_for(
+                points[lvl], points[lvl - 1], lvl - 1,
+                agg_compact(lvl - 1), mp_compact(lvl - 1),
+            )
+            rel_self = rel_for(points[lvl], points[lvl], lvl, agg_compact(lvl))
             x = ResidualBlock(
                 cin,
                 cin,
@@ -685,7 +721,7 @@ class KPConvFPN(nn.Module):
                 strided=True,
                 name=f"encoder{stage}_1",
                 **kw_res(lvl - 1),
-            )(x, points[lvl], points[lvl - 1], sub, None, tau_cross)
+            )(x, points[lvl], points[lvl - 1], sub, None, tau_cross, rel_cross)
             x = ResidualBlock(
                 cin,
                 cout,
@@ -694,7 +730,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self)
             x = ResidualBlock(
                 cout,
                 cout,
@@ -703,7 +739,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self)
             enc[stage] = x
 
         def upsample(feats_coarse, lvl):

@@ -294,6 +294,53 @@ def _nearest_k(d2: jax.Array, kk: int, approx: bool):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "tile", "band_width", "approx")
+)
+def banded_knn_select(
+    q_points: jax.Array,
+    s_points: jax.Array,
+    k: int = 128,
+    tile: int = 128,
+    band_width: int = 1024,
+    approx: bool = False,
+):
+    """Band-LOCAL indices (M, kk) of each query's k nearest in-band rows,
+    nearest first.
+
+    The selection (top_k / approx_max_k over the banded d2) is the
+    per-conv overhead of the compacted formulations; every sibling conv at
+    a (query level, support level) pair shares the same point sets, so the
+    FPN computes this once per pair and passes it down — the compacted
+    twin of the shared tau tensor (banded_knn_tau).  Because rows come
+    nearest-first, the first j columns are exactly the j-nearest selection:
+    consumers with smaller k just slice ``rel[:, :j]``.
+
+    Indices are relative to each 128-query tile's band start (the consumer
+    re-derives the same _band_start), int32.
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    kk = min(k, band)
+
+    def select(q, p):
+        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        _, rel = _nearest_k(d2, kk, approx)
+        return rel.astype(jnp.int32)
+
+    if dense:
+        return select(q_points, s_points)
+
+    def tile_fn(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        start = _band_start(t, tile, m, n, band)
+        p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
+        return select(q, p)
+
+    rel = jax.lax.map(tile_fn, jnp.arange(num_tiles))
+    return rel.reshape(m, kk)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("r_active", "k", "tile", "band_width", "knn", "approx"),
 )
@@ -307,6 +354,7 @@ def banded_compact_maxpool(
     band_width: int = 1024,
     knn: bool = False,
     approx: bool = False,
+    rel: jax.Array | None = None,
 ):
     """Compacted banded maxpool: max over the <=k NEAREST members.
 
@@ -329,35 +377,53 @@ def banded_compact_maxpool(
       distance break by band order instead of admitting both; the tau path
       admits all ties — an equivalence-class difference only).
 
+    ``rel`` (optional, (M, j<=k) int32 band-local indices from
+    banded_knn_select with the same tile/band geometry) skips the per-call
+    selection entirely — membership d2 is recomputed from the gathered
+    coordinates (bit-identical to the selection's own d2: same formula on
+    the same slices).
+
     s_feats (N, C), q_points (M, 3), s_points (N, 3) -> (M, C).
     """
     m, n = q_points.shape[0], s_points.shape[0]
     c = s_feats.shape[-1]
     r2 = r_active * r_active
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
-    kk = min(k, band)
+    kk = min(k, band) if rel is None else rel.shape[-1]
     neg = jnp.asarray(-jnp.inf, s_feats.dtype)
 
-    def pool(q, p, f):
-        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
-        negk, rel = _nearest_k(d2, kk, approx)  # nearest first
-        rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
+    def pool(q, p, f, rel_t):
+        if rel_t is None:
+            d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+            negk, idx = _nearest_k(d2, kk, approx)  # nearest first
+            d2k = -negk  # (T, kk)
+        else:
+            idx = rel_t
+            d2k = None
+        rows = jnp.take(f, idx, axis=0)  # (T, kk, C)
         if knn:
             out = jnp.max(rows, axis=1)
             return out if kk else jnp.zeros((q.shape[0], c), f.dtype)
-        member = -negk <= r2  # (T, kk)
+        if d2k is None:
+            p_rows = jnp.take(p, idx, axis=0)  # (T, kk, 3)
+            d2k = jnp.sum((p_rows - q[:, None, :]) ** 2, axis=-1)
+        member = d2k <= r2  # (T, kk)
         out = jnp.max(jnp.where(member[..., None], rows, neg), axis=1)
         return jnp.where(member.any(-1)[:, None], out, 0.0)
 
     if dense:
-        return jax.checkpoint(pool)(q_points, s_points, s_feats)
+        return jax.checkpoint(pool)(q_points, s_points, s_feats, rel)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
         start = _band_start(t, tile, m, n, band)
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
-        return pool(q, p, f)
+        rel_t = (
+            None if rel is None
+            else jax.lax.dynamic_slice(rel, (t * tile, 0), (tile, kk))
+        )
+        return pool(q, p, f, rel_t)
 
     out = jax.lax.map(jax.checkpoint(tile_fn), jnp.arange(num_tiles))
     return out.reshape(m, c)
@@ -384,8 +450,14 @@ def banded_compact_aggregate(
     knn: bool = False,
     kp: jax.Array | None = None,
     approx: bool = False,
+    rel: jax.Array | None = None,
 ):
     """Compacted banded KPConv aggregation over the <=k NEAREST members.
+
+    ``rel`` (optional, (M, j<=k) int32 band-local indices from
+    banded_knn_select, same tile/band geometry) skips the per-call top_k;
+    in radius mode the full-band d2 is still computed for the uncapped
+    in-reach count (O(T*band), no K factor, no sort).
 
     banded_kpconv_aggregate computes influence for every (query, band row)
     pair — O(tile * band * K) VPU work plus a (tile*K, band)@(band, C) MXU
@@ -426,14 +498,18 @@ def banded_compact_aggregate(
         kp = jnp.asarray(kp, jnp.float32)
         r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
-    kk = min(k, band)
+    kk = min(k, band) if rel is None else rel.shape[-1]
 
-    def aggregate(q, p, f):
-        # q (T,3), p (band,3), f (band,C)
-        d2full = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
-        _, rel = _nearest_k(d2full, kk, approx)  # (T, kk), nearest first
-        p_rows = jnp.take(p, rel, axis=0)  # (T, kk, 3)
-        f_rows = jnp.take(f, rel, axis=0)  # (T, kk, C)
+    def aggregate(q, p, f, rel_t):
+        # q (T,3), p (band,3), f (band,C), rel_t (T,kk) or None
+        if rel_t is None or not knn:
+            d2full = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        if rel_t is None:
+            _, idx = _nearest_k(d2full, kk, approx)  # (T, kk), nearest first
+        else:
+            idx = rel_t
+        p_rows = jnp.take(p, idx, axis=0)  # (T, kk, 3)
+        f_rows = jnp.take(f, idx, axis=0)  # (T, kk, C)
         offs = p_rows - q[:, None, :]
         infl, d2k = _influence(offs, kp, sigma)  # (T, kk, K), (T, kk)
         if knn:
@@ -453,14 +529,18 @@ def banded_compact_aggregate(
         return weighted, count.astype(jnp.int32)
 
     if dense:
-        return jax.checkpoint(aggregate)(q_points, s_points, s_feats)
+        return jax.checkpoint(aggregate)(q_points, s_points, s_feats, rel)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
         start = _band_start(t, tile, m, n, band)
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
-        return aggregate(q, p, f)
+        rel_t = (
+            None if rel is None
+            else jax.lax.dynamic_slice(rel, (t * tile, 0), (tile, kk))
+        )
+        return aggregate(q, p, f, rel_t)
 
     # checkpoint: recompute the gather + influence in the backward instead
     # of saving (tile, kk, K) influence and (tile, kk, C) rows per step

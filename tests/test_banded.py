@@ -187,6 +187,49 @@ class TestBandedAggregate:
             np.asarray(w_a), np.asarray(w_e), rtol=1e-6, atol=1e-7
         )
 
+    def test_compact_shared_rel_matches_inline_selection(self):
+        # banded_knn_select feeds both compact ops: results must be
+        # identical to each op's own inline top_k, and a wider shared
+        # selection sliced to the consumer's k must equal the narrower one
+        # (nearest-first prefix property)
+        rng = np.random.default_rng(21)
+        s = _cloud(512, rng)
+        q = s[::2]
+        feats = rng.normal(size=(512, 8)).astype(np.float32)
+        qj, sj, fj = jnp.asarray(q), jnp.asarray(s), jnp.asarray(feats)
+        rel = banded.banded_knn_select(qj, sj, k=32, tile=64, band_width=128)
+        assert rel.shape == (256, 32) and rel.dtype == jnp.int32
+
+        mp_inline = banded.banded_compact_maxpool(
+            fj, qj, sj, 1.0, k=16, tile=64, band_width=128
+        )
+        mp_rel = banded.banded_compact_maxpool(
+            fj, qj, sj, 1.0, k=16, tile=64, band_width=128, rel=rel[:, :16]
+        )
+        np.testing.assert_array_equal(np.asarray(mp_rel), np.asarray(mp_inline))
+
+        w_i, c_i = banded.banded_compact_aggregate(
+            fj, qj, sj, 0.85, 0.4, 15, k=16, tile=64, band_width=128
+        )
+        w_r, c_r = banded.banded_compact_aggregate(
+            fj, qj, sj, 0.85, 0.4, 15, k=16, tile=64, band_width=128,
+            rel=rel[:, :16],
+        )
+        np.testing.assert_array_equal(np.asarray(c_r), np.asarray(c_i))
+        np.testing.assert_allclose(
+            np.asarray(w_r), np.asarray(w_i), rtol=1e-6, atol=1e-7
+        )
+        # knn semantics through rel too
+        mp_knn_i = banded.banded_compact_maxpool(
+            fj, qj, sj, 0.0, k=32, tile=64, band_width=128, knn=True
+        )
+        mp_knn_r = banded.banded_compact_maxpool(
+            fj, qj, sj, 0.0, k=32, tile=64, band_width=128, knn=True, rel=rel
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mp_knn_r), np.asarray(mp_knn_i)
+        )
+
     def test_compact_aggregate_gradient(self):
         # autodiff composes top_k/gather (scatter-add VJP) with the influence
         # math — must match the full-band path's feature gradient at k >= band
