@@ -64,9 +64,16 @@ def main():
             holder["state"] = s2
             return m["loss"]
 
-        dt = timeit_sync(one, iters=6)
-        print(f"{label}: {dt*1e3:.1f} ms/step ({batch/dt:.2f} frames/s)")
-        return 1.0 / dt
+        # single-call train timings vary ±15% run to run (CLAUDE.md);
+        # time two separated rounds and report both so a spread that
+        # swamps the A/B delta is visible in the log
+        dt1 = timeit_sync(one, iters=8)
+        dt2 = timeit_sync(one, iters=8)
+        print(
+            f"{label}: {dt1*1e3:.1f} / {dt2*1e3:.1f} ms/step "
+            f"({batch/min(dt1, dt2):.2f} frames/s best)"
+        )
+        return 1.0 / min(dt1, dt2)
 
     def measure(cfg, label):
         model = CoFiI2P(cfg)
