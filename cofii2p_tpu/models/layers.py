@@ -47,6 +47,20 @@ def instance_norm(x: jax.Array, spatial_axes: tuple, eps: float = 1e-5) -> jax.A
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def _gn_normalize(x: jax.Array, g: int, eps: float) -> jax.Array:
+    """Whole-cloud group statistics + normalize (fp32), pre-affine.
+
+    Module-level so tools/fpn_bisect can stub it for in-context cost
+    attribution (the same late-bound-attribute pattern as the kernel stubs).
+    """
+    shape = x.shape[:-2] + (x.shape[-2], g, x.shape[-1] // g)
+    xg = x.astype(jnp.float32).reshape(shape)
+    mean = jnp.mean(xg, axis=(-3, -1), keepdims=True)
+    var = jnp.var(xg, axis=(-3, -1), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return xg.reshape(x.shape)
+
+
 class PointGroupNorm(nn.Module):
     """GroupNorm over an entire point cloud.
 
@@ -64,12 +78,7 @@ class PointGroupNorm(nn.Module):
         g = self.num_groups
         assert c % g == 0, (c, g)
         dtype = x.dtype
-        shape = x.shape[:-2] + (x.shape[-2], g, c // g)
-        xg = x.astype(jnp.float32).reshape(shape)
-        mean = jnp.mean(xg, axis=(-3, -1), keepdims=True)
-        var = jnp.var(xg, axis=(-3, -1), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        out = xg.reshape(x.shape)
+        out = _gn_normalize(x, g, self.eps)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         return (out * scale + bias).astype(dtype)

@@ -34,6 +34,7 @@ def main():
     from cofii2p_tpu import train_lib
     from cofii2p_tpu.utils.profiling import timeit_sync
     import cofii2p_tpu.models.kpconv as kpconv_mod
+    import cofii2p_tpu.models.layers as layers_mod
     import cofii2p_tpu.ops.kpconv_kernel as agg_mod
     import cofii2p_tpu.ops.maxpool_kernel as mp_mod
 
@@ -145,13 +146,19 @@ def main():
         m, n = q_points.shape[0], s_points.shape[0]
         return (jnp.arange(m, dtype=jnp.int32) * n) // m
 
+    real_gn = layers_mod._gn_normalize
+
+    def stub_gn(x, g, eps):
+        return x.astype(jnp.float32)  # skip stats; affine+cast stay real
+
     # the KPConv module imports these inside __call__ — patching the module
     # attributes reaches both the fused and unfused dispatch
-    def set_stubs(agg=False, mp=False, near=False):
+    def set_stubs(agg=False, mp=False, near=False, gn=False):
         agg_mod.banded_kpconv_aggregate_pallas = stub_agg if agg else real_agg
         agg_mod.banded_kpconv_fused_pallas = stub_fused if agg else real_fused
         kpconv_mod.banded_nearest_index = stub_near if near else real_near
         mp_mod.banded_maxpool_pallas = stub_mp if mp else real_mp
+        layers_mod._gn_normalize = stub_gn if gn else real_gn
 
     if args.pipeline:
         one, x0, tag = pipe_one, host["pc"], "pipe"
@@ -166,8 +173,12 @@ def main():
         chained_ms(f"{tag} - agg", one, x0)
         set_stubs(near=True)
         chained_ms(f"{tag} - nearest", one, x0)
+        set_stubs(gn=True)
+        chained_ms(f"{tag} - norms", one, x0)
         set_stubs(agg=True, mp=True, near=True)
         chained_ms(f"{tag} - all three", one, x0)
+        set_stubs(agg=True, mp=True, near=True, gn=True)
+        chained_ms(f"{tag} - all + norms", one, x0)
     finally:
         set_stubs()
     print(json.dumps(results))
