@@ -269,9 +269,13 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
             kw[key] = float(val)
         elif typ in ("bool", bool):
             kw[key] = val.lower() in ("1", "true", "yes")
-        elif typ in ("tuple", tuple):
+        elif typ in ("tuple", tuple) or (
+            isinstance(typ, str) and typ.startswith("tuple")
+        ):
             # "128,256,640" -> (128, 256, 640); "none" -> None (fall back to
-            # whatever scalar rule the consumer applies)
+            # whatever scalar rule the consumer applies).  Covers the
+            # "tuple | None" plan fields too — without this they'd silently
+            # store the raw string.
             kw[key] = (
                 None
                 if val.lower() in ("none", "")

@@ -142,3 +142,11 @@ def test_apply_overrides_tuple_field():
     assert cfg.kpconv_band_plan == (64, 128, 256, 512, 512)
     cfg = apply_overrides(KITTIConfig(), ["kpconv_band_plan=none"])
     assert cfg.kpconv_band_plan is None
+    # 'tuple | None'-annotated fields must coerce too (regression: the raw
+    # string used to be stored, crashing the FPN's per-level plan lookup)
+    cfg = apply_overrides(
+        KITTIConfig(),
+        ["maxpool_compact_plan=0,0,128,128", "aggregate_compact_plan=none"],
+    )
+    assert cfg.maxpool_compact_plan == (0, 0, 128, 128)
+    assert cfg.aggregate_compact_plan is None
