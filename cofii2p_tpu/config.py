@@ -126,14 +126,17 @@ class Config:
     # use the banded select kernel; an int k uses the compacted top-k form —
     # ops/banded.banded_compact_maxpool — which selects each query's k
     # nearest band rows and maxes over those, O(tile*k*C) instead of
-    # O(tile*band*C)).  The compacted form pays a top_k + k-row gather, so
-    # it wins where band >> k (deep levels) and loses at narrow bands.
+    # O(tile*band*C)).  The compacted form pays a top_k + k-row gather;
+    # measured SLOWER than the guarded Pallas rescan at every FPN level
+    # (PERF.md round-2 A/B: 50-70 ms vs 21-44) — the ~8 ns/row gather is
+    # the floor.  Kept for the kNN-semantics parity variants, not speed.
     maxpool_compact_plan: tuple | None = None
     # KPConv aggregation formulation per SUPPORT level (None/0 entries use
     # the full-band path — Pallas kernel on TPU; an int k uses the compacted
     # top-k form, ops/banded.banded_compact_aggregate: influence over each
     # query's k nearest band rows only, O(tile*k*K) VPU work instead of
-    # O(tile*band*K)).  Same win/lose geometry as maxpool_compact_plan.
+    # O(tile*band*K)).  Same gather-floor geometry as maxpool_compact_plan
+    # (measured 21x slower at the finest level — PERF.md); parity use only.
     aggregate_compact_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
