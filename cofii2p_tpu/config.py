@@ -135,8 +135,11 @@ class Config:
     # the full-band path — Pallas kernel on TPU; an int k uses the compacted
     # top-k form, ops/banded.banded_compact_aggregate: influence over each
     # query's k nearest band rows only, O(tile*k*K) VPU work instead of
-    # O(tile*band*K)).  Same gather-floor geometry as maxpool_compact_plan
-    # (measured 21x slower at the finest level — PERF.md); parity use only.
+    # O(tile*band*K)).  Same gather-floor geometry as maxpool_compact_plan;
+    # the aggregation side has not been A/B'd on TPU, but the maxpool
+    # study's gather-floor arithmetic (PERF.md §9(d): ~8 ns/row over
+    # tile*k*C rows exceeds the whole guarded rescan) applies unchanged.
+    # Parity use only.
     aggregate_compact_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
