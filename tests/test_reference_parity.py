@@ -21,6 +21,8 @@ Runs on CPU (conftest forces jax_platforms=cpu; torch is CPU-only here).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -38,6 +40,11 @@ from cofii2p_tpu.utils.checkpoint import import_t7
 from tests.reference_bridge import make_reference_model
 
 IMG_H, IMG_W = 32, 64  # /8 grid 4x8 = 32 tokens; /2 map 16x32
+# test-mode parity runs at the REAL image scale: the reference fine_process
+# border mask hardcodes KITTI's 20x64 coarse grid (x in [2,62], y in [2,18],
+# network.py:184) and only there does our H/8,W/8 generalization coincide
+# with the literal constants.  The cloud stays small (512 pts) for CPU cost.
+TM_IMG_H, TM_IMG_W = 160, 512
 
 
 @pytest.fixture(scope="module")
@@ -334,3 +341,323 @@ def test_e2e_banded_knn_parity(tmp_path, ref_model, cfg, compact_mp, compact_agg
         "fine_pc_feature",
         2e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# test-mode (inference-path) parity — the path that produces the published
+# numbers: fine_process's threshold-decay loop + coarse pixel/border
+# selection (network.py:145-161, 167-187), point2node, patch extraction at
+# coarse_xy*4 (network.py:156-158), and the eval fine decode
+# (evaluation/eval_all.py:99-105).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_model_tm():
+    # seed=1 (not 0): the reference's fine_process decay loop
+    # (network.py:147-151) never terminates when fewer than 4 superpoints
+    # survive its border mask even at thrs < 0 — with random weights the
+    # argmin image correspondences collapse onto a handful of cells
+    # (conv zero-padding makes border cells the feature extremes), and for
+    # seed=0 every one of them is border (tools/tm_terminate_probe: 0
+    # survivors at thrs=-1 -> the reference itself would loop forever).
+    # seed=1 yields 10 interior survivors -> guaranteed termination.
+    model, opt = make_reference_model(img_H=TM_IMG_H, img_W=TM_IMG_W, seed=1)
+    g = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for name, buf in model.named_buffers():
+            if name.endswith("kernel_points"):
+                buf.add_(0.01 * torch.randn(buf.shape, generator=g))
+    return model, opt
+
+
+@pytest.fixture(scope="module")
+def cfg_tm():
+    return TinyConfig(
+        img_H=TM_IMG_H,
+        img_W=TM_IMG_W,
+        kpconv_impl="gather",
+        kpconv_kernel="xla",
+        kpconv_shared_influence=False,
+    )
+
+
+def test_e2e_test_mode_parity(tmp_path, ref_model_tm, cfg_tm):
+    """Inference-path agreement on bridged weights at the real 20x64 coarse
+    grid: the reference's own fine_process loop output (selected superpoint
+    set, threshold, coarse pixels), the point2node fine-feature lookup, the
+    4x4 patches at coarse_xy*4, the eval fine decode (axis swap included —
+    fine_match_xy(decode='reference')), and the exact (imagePoints,
+    objectPoints) pair eval_all.py:107 hands to PnP."""
+    cfg = cfg_tm
+    model_t, _ = ref_model_tm
+    # seed=7 pairs with the model fixture's seed=1: the reference loop
+    # terminates (see ref_model_tm).  Guarded below before the torch
+    # forward so a shape/seed change fails loudly instead of hanging.
+    pyr, feats, img, centers, fine_idx = _build_inputs(cfg, seed=7)
+    batch = _our_batch(pyr, feats, img, centers, fine_idx)
+    # disable_jit: at the real 160x512 image scale the XLA CPU compile of
+    # the assembled network takes ~50+ CPU-minutes, while eager op-by-op
+    # execution (each primitive compiles once, tiny, cached) finishes in
+    # ~2 min.  Numerics are identical fp32 either way for parity purposes.
+    with jax.disable_jit():
+        model, params, stats = _bridged_params(tmp_path, model_t, cfg, batch)
+        out = jax.device_get(
+            model.apply(
+                {"params": params, "batch_stats": stats}, batch,
+                mode="test", train=False,
+            )
+        )
+
+    pc_data_dict, img_t, centers_t, fine_idx_t = _torch_inputs(
+        pyr, feats, img, centers, fine_idx
+    )
+    # termination guard: the decay loop's survivor set is monotone in thrs,
+    # so fine_process at thrs=-1 is its limit — if fewer than 4 pass there,
+    # the reference's while loop (network.py:147-151) would spin forever.
+    # One cheap train-mode forward reuses the shared trunk to check.
+    from tests.reference_bridge import load_reference
+
+    load_reference()
+    from model.network import fine_process as ref_fine_process
+
+    with torch.no_grad():
+        (imgn_g, pcn_g, _, score_g, _, _, _, _) = model_t(
+            pc_data_dict, img_t, centers_t, None, fine_idx_t, "train"
+        )
+        _, idx_g = ref_fine_process(score_g, pcn_g, imgn_g, thrs=-1.0)
+    assert idx_g.numel() >= 4, (
+        f"only {idx_g.numel()} superpoints survive the border mask at "
+        "thrs=-1: the reference's fine_process loop would never terminate "
+        "for these weights/inputs — change the fixture seeds"
+    )
+
+    with torch.no_grad():
+        (
+            _img_feat,
+            _pc_feat,
+            _img_score,
+            _pc_score,
+            ref_patch,          # (Nin, C, 16) — already flattened in test mode
+            ref_fine_pc_feat,   # (Nin, 64)
+            ref_fine_center_xy, # (2, Nin) = coarse_xy * 4
+            ref_pc_points,      # (Nin, 3) PnP objectPoints
+        ) = model_t(pc_data_dict, img_t, None, None, None, "test")
+
+    # --- the selected superpoint set and threshold ---
+    mask = np.asarray(out["inlier_mask"][0])
+    s = mask.shape[0]
+    ours_sel = np.flatnonzero(mask)
+    # reference returns points, not indices; recover the index set by
+    # matching coordinates (superpoint coords are unique in this cloud)
+    sp = np.asarray(jax.device_get(batch["points"][-1][0]))
+    ref_pts = ref_pc_points.numpy()
+    d = np.linalg.norm(sp[None, :, :] - ref_pts[:, None, :], axis=-1)
+    ref_sel = d.argmin(axis=1)
+    assert (d.min(axis=1) < 1e-5).all()
+    assert ref_sel.shape[0] >= 4
+    np.testing.assert_array_equal(np.sort(ref_sel), ours_sel)
+
+    def close(ours, theirs, name, atol):
+        ours = np.asarray(ours, np.float64)
+        theirs = np.asarray(theirs, np.float64)
+        assert ours.shape == theirs.shape, (name, ours.shape, theirs.shape)
+        diff = np.abs(ours - theirs).max() if ours.size else 0.0
+        assert diff <= atol, f"{name}: max abs diff {diff} > {atol}"
+
+    # order the reference rows by superpoint index to compare against our
+    # mask-ordered (ascending index) rows
+    order = np.argsort(ref_sel)
+
+    # --- coarse pixels (fine_center_xy = coarse_xy * 4) ---
+    close(
+        out["fine_center_xy"][0][ours_sel],
+        ref_fine_center_xy.numpy().T[order],
+        "fine_center_xy",
+        0.0,
+    )
+    # --- PnP objectPoints (eval_all.py:107) ---
+    close(
+        np.asarray(sp)[ours_sel],
+        ref_pts[order],
+        "coarse_pc_points",
+        0.0,
+    )
+    # --- point2node fine features (network.py:153,161) ---
+    close(
+        out["fine_pc_feature"][0][ours_sel],
+        ref_fine_pc_feat.numpy()[order],
+        "fine_pc_feature",
+        2e-3,
+    )
+    # --- 4x4 patches at coarse_xy*4 on the /2 map (network.py:156-158) ---
+    ours_patch = np.moveaxis(
+        np.asarray(out["fine_img_patch"][0][ours_sel], np.float64), -1, 1
+    ).reshape(len(ours_sel), -1, 16)
+    close(ours_patch, ref_patch.numpy()[order], "fine_img_patch", 2e-3)
+
+    # --- eval fine decode (eval_all.py:99-105), axis swap included ---
+    from cofii2p_tpu.models.network import fine_match_xy
+
+    ours_xy = np.asarray(
+        jax.device_get(
+            fine_match_xy(
+                out["fine_img_patch"],
+                out["fine_pc_feature"],
+                out["fine_center_xy"],
+                decode="reference",
+            )
+        )[0]
+    )[ours_sel]
+
+    fpf = torch.from_numpy(ref_fine_pc_feat.numpy()).unsqueeze(-1)  # (N, C, 1)
+    dist = torch.cosine_similarity(
+        torch.from_numpy(ref_patch.numpy()).unsqueeze(-1), fpf.unsqueeze(-2)
+    )
+    dist = torch.squeeze(dist, -1)
+    predict_index = torch.argmax(dist, dim=1)
+    ref_xy = torch.from_numpy(ref_fine_center_xy.numpy().copy()) - 2
+    ref_xy[0] = ref_xy[0] + predict_index // 4
+    ref_xy[1] = ref_xy[1] + predict_index % 4
+    close(ours_xy, ref_xy.numpy().T[order], "fine_xy (PnP imagePoints)", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# full-KITTI-scale parity (160x512 image, 20480-point cloud, 64 keypoints):
+# scale-dependent wiring — the 20x64 coarse grid, border mask at real size,
+# the 80x256 /2 fine map, sine encodings at real grid sizes — compared
+# against the unmodified torch reference in train AND test mode.  Slow
+# (tens of minutes on CPU): opt-in via COFII2P_FULL_SCALE=1.  A passing run
+# is recorded in PARITY.md.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.environ.get("COFII2P_FULL_SCALE"),
+    reason="slow full-scale parity; set COFII2P_FULL_SCALE=1",
+)
+def test_full_scale_parity(tmp_path):
+    from cofii2p_tpu.config import KITTIConfig
+
+    cfg = KITTIConfig(
+        kpconv_impl="gather",
+        kpconv_kernel="xla",
+        kpconv_shared_influence=False,
+    )
+    model_t, _ = make_reference_model(img_H=cfg.img_H, img_W=cfg.img_W, seed=0)
+    g = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for name, buf in model_t.named_buffers():
+            if name.endswith("kernel_points"):
+                buf.add_(0.01 * torch.randn(buf.shape, generator=g))
+
+    pyr, feats, img, centers, fine_idx = _build_inputs(cfg, seed=9)
+    batch = _our_batch(pyr, feats, img, centers, fine_idx)
+    # eager throughout: XLA CPU compiles of the assembled network at full
+    # scale are pathologically slow (50+ CPU-min at 160x512 already); see
+    # test_e2e_test_mode_parity
+    with jax.disable_jit():
+        model, params, stats = _bridged_params(tmp_path, model_t, cfg, batch)
+
+    def close(ours, theirs, name, atol):
+        ours = np.asarray(ours, np.float64)
+        theirs = np.asarray(theirs, np.float64)
+        assert ours.shape == theirs.shape, (name, ours.shape, theirs.shape)
+        diff = np.abs(ours - theirs).max() if ours.size else 0.0
+        assert diff <= atol, f"{name}: max abs diff {diff} > {atol}"
+        print(f"full-scale {name}: max abs diff {diff:.3e} (atol {atol})")
+
+    pc_data_dict, img_t, centers_t, fine_idx_t = _torch_inputs(
+        pyr, feats, img, centers, fine_idx
+    )
+
+    # --- train mode ---
+    with jax.disable_jit():
+        out = jax.device_get(
+            model.apply(
+                {"params": params, "batch_stats": stats}, batch,
+                mode="train", train=False,
+            )
+        )
+    with torch.no_grad():
+        (
+            img_feature_norm, pc_feature_norm, coarse_img_score,
+            coarse_pc_score, fine_img_patch, fine_pc_feature, _, _,
+        ) = model_t(pc_data_dict, img_t, centers_t, None, fine_idx_t, "train")
+    close(
+        np.moveaxis(out["img_feature_norm"][0], -1, 0),
+        img_feature_norm[0].numpy(), "train img_feature_norm", 3e-3,
+    )
+    close(
+        out["pc_feature_norm"][0].T, pc_feature_norm.numpy(),
+        "train pc_feature_norm", 3e-3,
+    )
+    close(
+        out["coarse_img_score"][0], coarse_img_score[0, 0].numpy(),
+        "train coarse_img_score", 3e-3,
+    )
+    close(
+        out["coarse_pc_score"][0], coarse_pc_score[0, 0].numpy(),
+        "train coarse_pc_score", 3e-3,
+    )
+    close(
+        np.moveaxis(out["fine_img_patch"][0], -1, 1),
+        fine_img_patch.numpy(), "train fine_img_patch", 3e-3,
+    )
+    close(
+        out["fine_pc_feature"][0], fine_pc_feature.numpy(),
+        "train fine_pc_feature", 3e-3,
+    )
+    del out
+
+    # --- test mode (the published-numbers path, real border constants) ---
+    # termination guard (see test_e2e_test_mode_parity): <4 border-mask
+    # survivors at thrs=-1 means the reference loop would spin forever
+    from tests.reference_bridge import load_reference
+
+    load_reference()
+    from model.network import fine_process as ref_fine_process
+
+    with torch.no_grad():
+        _, idx_g = ref_fine_process(
+            coarse_pc_score, pc_feature_norm, img_feature_norm, thrs=-1.0
+        )
+    assert idx_g.numel() >= 4, (
+        f"only {idx_g.numel()} survivors at thrs=-1: the reference "
+        "fine_process loop would never terminate — change seeds"
+    )
+
+    with jax.disable_jit():
+        out = jax.device_get(
+            model.apply(
+                {"params": params, "batch_stats": stats}, batch,
+                mode="test", train=False,
+            )
+        )
+    with torch.no_grad():
+        (
+            _if, _pf, _is, _ps,
+            ref_patch, ref_fine_pc_feat, ref_fine_center_xy, ref_pc_points,
+        ) = model_t(pc_data_dict, img_t, None, None, None, "test")
+
+    mask = np.asarray(out["inlier_mask"][0])
+    ours_sel = np.flatnonzero(mask)
+    sp = np.asarray(jax.device_get(batch["points"][-1][0]))
+    ref_pts = ref_pc_points.numpy()
+    d = np.linalg.norm(sp[None, :, :] - ref_pts[:, None, :], axis=-1)
+    ref_sel = d.argmin(axis=1)
+    assert (d.min(axis=1) < 1e-5).all()
+    np.testing.assert_array_equal(np.sort(ref_sel), ours_sel)
+    order = np.argsort(ref_sel)
+    close(
+        out["fine_center_xy"][0][ours_sel],
+        ref_fine_center_xy.numpy().T[order], "test fine_center_xy", 0.0,
+    )
+    close(
+        out["fine_pc_feature"][0][ours_sel],
+        ref_fine_pc_feat.numpy()[order], "test fine_pc_feature", 3e-3,
+    )
+    ours_patch = np.moveaxis(
+        np.asarray(out["fine_img_patch"][0][ours_sel], np.float64), -1, 1
+    ).reshape(len(ours_sel), -1, 16)
+    close(ours_patch, ref_patch.numpy()[order], "test fine_img_patch", 3e-3)
