@@ -141,6 +141,17 @@ class Config:
     # tile*k*C rows exceeds the whole guarded rescan) applies unchanged.
     # Parity use only.
     aggregate_compact_plan: tuple | None = None
+    # Dynamic per-tile band starts per SUPPORT level (ops/banded.py::
+    # dynamic_band_starts): 0/None entries keep the static proportional
+    # band plan; an int W measures each query tile's exact in-reach index
+    # span on device each forward and centers a W-wide window on it —
+    # the deep levels' static bands cover most of the level (enc5_1 scans
+    # 2304 of 2560 rows) while real spans are far narrower, and the
+    # maxpool/aggregation kernels' select/influence work scales with the
+    # scanned width.  Shared per (query level, support level) pair like
+    # tau.  EVAL/FORWARD-ONLY: the transposed backward's query-window plan
+    # is static, so training configs must keep this None.
+    kpconv_dynamic_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

@@ -33,6 +33,7 @@ from cofii2p_tpu.ops.banded import (
     banded_kpconv_aggregate,
     banded_maxpool,
     banded_nearest_index,
+    dynamic_band_starts,
     kernel_reach,
 )
 from cofii2p_tpu.ops.geometry import gather_neighbors
@@ -137,7 +138,7 @@ class KPConv(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None):
         cin = s_feats.shape[-1]
         k = self.kernel_size
 
@@ -291,6 +292,7 @@ class KPConv(nn.Module):
                     out, count = banded_kpconv_fused_pallas(
                         s_feats, q_points, s_points, weights, self.radius,
                         self.sigma, k, self.tile, self.band_width, self.dtype,
+                        starts,
                     )
                     out = out / count[..., None].astype(out.dtype)
                     if self.use_bias:
@@ -306,8 +308,15 @@ class KPConv(nn.Module):
 
                 weighted, count = banded_kpconv_aggregate_pallas(
                     s_feats, q_points, s_points, self.radius, self.sigma, k,
-                    self.tile, self.band_width, self.dtype,
+                    self.tile, self.band_width, self.dtype, starts,
                 )
+            elif starts is not None:
+                weighted, count = jax.vmap(
+                    lambda f, q, s, st: banded_kpconv_aggregate(
+                        f, q, s, self.radius, self.sigma, k,
+                        self.tile, self.band_width, self.dtype, starts=st,
+                    )
+                )(s_feats, q_points, s_points, starts)
             else:
                 weighted, count = jax.vmap(
                     lambda f, q, s: banded_kpconv_aggregate(
@@ -413,14 +422,14 @@ class ConvBlock(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None):
         x = KPConv(
             self.out_channels, self.kernel_size, self.radius, self.sigma,
             dtype=self.dtype, impl=self.impl, tile=self.tile,
             band_width=self.band_width, kernel=self.kernel,
             knn_k=self.knn_k, aggregate_compact=self.aggregate_compact,
             name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices, influence, tau, rel)
+        )(s_feats, q_points, s_points, neighbor_indices, influence, tau, rel, starts)
         x = norm_factory(self.norm, self.group_norm)(x)
         return leaky_relu(x)
 
@@ -448,7 +457,7 @@ class ResidualBlock(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None):
         mid = self.out_channels // 4
 
         x = s_feats
@@ -459,7 +468,7 @@ class ResidualBlock(nn.Module):
             impl=self.impl, tile=self.tile, band_width=self.band_width,
             kernel=self.kernel, knn_k=self.knn_k,
             aggregate_compact=self.aggregate_compact, name="KPConv",
-        )(x, q_points, s_points, neighbor_indices, influence, tau, rel)
+        )(x, q_points, s_points, neighbor_indices, influence, tau, rel, starts)
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
@@ -530,8 +539,15 @@ class ResidualBlock(nn.Module):
 
                     shortcut = banded_maxpool_pallas(
                         s_feats, q_points, s_points, r_active, self.tile,
-                        self.band_width,
+                        self.band_width, True, starts,
                     )
+                elif starts is not None:
+                    shortcut = jax.vmap(
+                        lambda f, q, s, st: banded_maxpool(
+                            f, q, s, r_active, self.tile, self.band_width,
+                            starts=st,
+                        )
+                    )(s_feats, q_points, s_points, starts)
                 else:
                     shortcut = jax.vmap(
                         lambda f, q, s: banded_maxpool(
@@ -583,6 +599,11 @@ class KPConvFPN(nn.Module):
     maxpool_compact_plan: Any = None
     # per-support-level compacted-aggregation ks (None/0 = full-band path)
     aggregate_compact_plan: Any = None
+    # per-support-level dynamic window widths (config.kpconv_dynamic_plan):
+    # 0/None = static band plan; W > 0 = per-tile device-measured starts
+    # with a W-wide window (ops/banded.dynamic_band_starts; radius-banded
+    # impl only, eval/forward-only)
+    dynamic_plan: Any = None
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -631,13 +652,38 @@ class KPConvFPN(nn.Module):
                 return int(self.aggregate_compact_plan[support_lvl] or 0)
             return 0
 
+        def dyn_w(support_lvl: int) -> int:
+            # dynamic starts are radius-banded only (knn membership is
+            # tau-based and the parity path keeps the static plan)
+            if self.dynamic_plan is None or self.impl != "banded":
+                return 0
+            if support_lvl < len(self.dynamic_plan):
+                return int(self.dynamic_plan[support_lvl] or 0)
+            return 0
+
         def kw(support_lvl: int) -> dict:
+            w = dyn_w(support_lvl)
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
-                impl=self.impl, tile=self.tile, band_width=bw(support_lvl),
+                impl=self.impl, tile=self.tile,
+                band_width=(w if w else bw(support_lvl)),
                 kernel=self.kernel, knn_k=self.knn_k,
                 aggregate_compact=agg_compact(support_lvl),
             )
+
+        def starts_for(q_pts, s_pts, support_lvl, radius_scale):
+            # one starts tensor per (query level, support level) pair,
+            # shared by every sibling block on it (the blocks at a pair all
+            # run the same radius, so one in-reach span serves them all)
+            w = dyn_w(support_lvl)
+            if w == 0:
+                return None
+            r_act = kernel_reach(
+                r * radius_scale, s * radius_scale, ks
+            )
+            return jax.vmap(
+                lambda q, sp: dynamic_band_starts(q, sp, r_act, self.tile, w)
+            )(q_pts, s_pts)
 
         def kw_res(support_lvl: int) -> dict:
             return dict(kw(support_lvl), maxpool_compact=mp_compact(support_lvl))
@@ -678,11 +724,12 @@ class KPConvFPN(nn.Module):
         )
         tau0 = tau_for(points[0], points[0], 0)
         rel0 = rel_for(points[0], points[0], 0, agg_compact(0))
+        starts0 = starts_for(points[0], points[0], 0, 1)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
-            feats, points[0], points[0], nbr0, inf0, tau0, rel0
+            feats, points[0], points[0], nbr0, inf0, tau0, rel0, starts0
         )
         x = ResidualBlock(d, d * 2, ks, r, s, name="encoder1_2", **kw(0))(
-            x, points[0], points[0], nbr0, inf0, tau0, rel0
+            x, points[0], points[0], nbr0, inf0, tau0, rel0, starts0
         )
         enc[1] = x
 
@@ -712,6 +759,12 @@ class KPConvFPN(nn.Module):
                 agg_compact(lvl - 1), mp_compact(lvl - 1),
             )
             rel_self = rel_for(points[lvl], points[lvl], lvl, agg_compact(lvl))
+            starts_cross = starts_for(
+                points[lvl], points[lvl - 1], lvl - 1, 2 ** (stage - 2)
+            )
+            starts_self = starts_for(
+                points[lvl], points[lvl], lvl, 2 ** (stage - 1)
+            )
             x = ResidualBlock(
                 cin,
                 cin,
@@ -721,7 +774,8 @@ class KPConvFPN(nn.Module):
                 strided=True,
                 name=f"encoder{stage}_1",
                 **kw_res(lvl - 1),
-            )(x, points[lvl], points[lvl - 1], sub, None, tau_cross, rel_cross)
+            )(x, points[lvl], points[lvl - 1], sub, None, tau_cross, rel_cross,
+              starts_cross)
             x = ResidualBlock(
                 cin,
                 cout,
@@ -730,7 +784,8 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_2",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self,
+              starts_self)
             x = ResidualBlock(
                 cout,
                 cout,
@@ -739,7 +794,8 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 1),
                 name=f"encoder{stage}_3",
                 **kw(lvl),
-            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self)
+            )(x, points[lvl], points[lvl], nbr, inf_self, tau_self, rel_self,
+              starts_self)
             enc[stage] = x
 
         def upsample(feats_coarse, lvl):

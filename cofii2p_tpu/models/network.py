@@ -120,6 +120,7 @@ class CoFiI2P(nn.Module):
             knn_k=cfg.neighbor_num,
             maxpool_compact_plan=cfg.maxpool_compact_plan,
             aggregate_compact_plan=cfg.aggregate_compact_plan,
+            dynamic_plan=cfg.kpconv_dynamic_plan,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

@@ -90,6 +90,122 @@ def _band_start(t, tile: int, num_q: int, num_s: int, band: int):
     return jnp.clip(center - band // 2, 0, num_s - band)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("r_active", "tile", "width", "center")
+)
+def dynamic_band_starts(
+    q_points: jax.Array,
+    s_points: jax.Array,
+    r_active: float,
+    tile: int = 128,
+    width: int = 256,
+    center: str = "centroid",
+):
+    """Per-tile support-band starts computed from the frame's actual
+    geometry (device, per forward pass).
+
+    The static band plan centers each tile's band proportionally
+    (`_band_start`) and sizes it for worst-case Morton discontinuities —
+    at the deep FPN levels that makes the band cover most of the level
+    (e.g. 2304 of 2560 rows at enc5_1), and the maxpool/aggregation
+    kernels' per-chunk work is ~dense over it.  Here each query tile's
+    in-reach rows are found on device (one masked (tile, N) distance
+    block per tile — trivial next to the band scan it shrinks) and a
+    narrower static ``width`` window is centered on them.
+
+    ``center`` picks the estimator:
+      - ``"centroid"`` (default): the multiplicity-weighted mean in-reach
+        index.  In-reach rows have long asymmetric Morton tails (span p95
+        is several x the dense width, tools/dyn_band_study), so this
+        tracks where the influence mass actually lives.
+      - ``"span"``: the (jmin+jmax)/2 span midpoint — guarantees the
+        window contains EVERY in-reach row whenever width >= span, the
+        exactness contract the unit tests pin, but measured much worse
+        at real scale (one far row drags the midpoint off the diagonal:
+        pair coverage 0.17 vs the static plan's 0.82 at L1, w=256).
+
+    Returns (num_tiles,) int32 window starts, clipped to [0, N - width].
+    Falls back to the static proportional center for tiles with no
+    in-reach support (their output is zero/empty either way).
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    tile = min(tile, m)
+    while m % tile:
+        tile //= 2
+    num_tiles = m // tile
+    width = min(width, n)
+    r2 = jnp.float32(r_active * r_active) * 1.0001  # conservative boundary
+
+    def span_of(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        d2 = _membership_d2(q, s_points)  # (tile, N)
+        within = jnp.any(d2 <= r2, axis=0)  # (N,)
+        has = jnp.any(within)
+        if center == "centroid":
+            wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (N,)
+            j = jnp.arange(n, dtype=jnp.float32)
+            mid = jnp.sum(j * wcnt) / jnp.maximum(jnp.sum(wcnt), 1.0)
+            dyn = mid.astype(jnp.int32) - width // 2
+        else:  # "span"
+            jmin = jnp.argmax(within)
+            jmax = n - 1 - jnp.argmax(within[::-1])
+            dyn = (jmin + jmax + 1 - width) // 2
+        static = ((2 * t * tile + tile) * n) // (2 * m) - width // 2
+        return jnp.clip(
+            jnp.where(has, dyn, static), 0, n - width
+        ).astype(jnp.int32)
+
+    return jax.lax.map(span_of, jnp.arange(num_tiles))
+
+
+def _slice_bands_dyn(x: jax.Array, starts: jax.Array, band: int) -> jax.Array:
+    """(N, D), traced (nt,) starts -> (nt, band, D) via dynamic slices."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(x, s, band, axis=0)
+    )(starts)
+
+
+def _membership_d2(q: jax.Array, p: jax.Array):
+    """Squared distances with the Pallas kernels' exact arithmetic.
+
+    Centers both operands on the tile's first query, then accumulates the
+    per-dimension products in d order — the same elementwise fp32 op
+    sequence the kernels run (ops/kpconv_kernel.py, ops/maxpool_kernel.py).
+    Elementwise fp32 is deterministic, so XLA and Mosaic produce
+    bit-identical values; every banded op computes threshold membership
+    (d2 <= tau / d2 <= r2) from THIS function so the tau producer
+    (banded_knn_tau) and all consumers agree bitwise.  That is what keeps
+    k-NN membership stable at zero-gap ties — duplicated points (the
+    resample_fixed padding) make the k-th and (k+1)-th distances exactly
+    equal, where no mid-gap/eps margin can absorb an arithmetic difference.
+
+    q (T, 3), p (S, 3) -> (T, S) fp32.
+    """
+    ref = q[0:1, :]
+    qc = q - ref
+    pc = p - ref
+    d2 = None
+    for d in range(3):
+        diff = qc[:, d : d + 1] - pc[None, :, d]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
+
+
+def _membership_d2_rows(q: jax.Array, p_rows: jax.Array):
+    """_membership_d2 for gathered per-query rows: q (T, 3),
+    p_rows (T, S, 3) -> (T, S).  Same centering and per-dimension op order,
+    so a gathered recompute is bit-identical to the full-band d2 at the
+    gathered positions."""
+    ref = q[0:1, :]
+    qc = q - ref
+    pc = p_rows - ref[None]
+    d2 = None
+    for d in range(3):
+        diff = qc[:, None, d] - pc[:, :, d]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
+
+
 def _influence(offsets: jax.Array, kp: jax.Array, sigma: float):
     """Linear-correlation influence of each kernel point at each offset.
 
@@ -121,6 +237,7 @@ def banded_kpconv_aggregate(
     dtype=jnp.float32,
     tau: jax.Array | None = None,
     kp: jax.Array | None = None,
+    starts: jax.Array | None = None,
 ):
     """Influence-weighted neighbor aggregation without gathers.
 
@@ -168,7 +285,10 @@ def banded_kpconv_aggregate(
     def aggregate(q, p, f, tau_t):
         # q (T,3), p (band,3), f (band,C), tau_t (T,) or None
         offs = p[None, :, :] - q[:, None, :]  # (T, band, 3)
-        infl, d2 = _influence(offs, kp, sigma)  # (T, band, K), (T, band)
+        infl, _ = _influence(offs, kp, sigma)  # (T, band, K)
+        # membership from the kernels' exact d2 arithmetic (bit-stable
+        # thresholds across XLA/Mosaic); influence keeps the matmul identity
+        d2 = _membership_d2(q, p)
         if tau_t is None:
             within = d2 <= r2
             count = jnp.sum(within, axis=-1)
@@ -187,14 +307,21 @@ def banded_kpconv_aggregate(
         )
         return weighted, count.astype(jnp.int32)
 
-    if dense:
+    if dense and starts is None:
         # checkpoint for the same reason as the banded scan below: the
         # (M, N, K) influence tensor must not be saved for the backward
         return jax.checkpoint(aggregate)(q_points, s_points, s_feats, tau)
 
+    if starts is not None:
+        # dynamic per-tile window starts (dynamic_band_starts): band_width
+        # is the full window width here, not the half-band margin
+        band = min(band_width, n)
+
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
-        start = _band_start(t, tile, m, n, band)
+        start = (
+            _band_start(t, tile, m, n, band) if starts is None else starts[t]
+        )
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
         tau_t = (
@@ -221,6 +348,7 @@ def banded_maxpool(
     tile: int = 128,
     band_width: int = 1024,
     tau: jax.Array | None = None,
+    starts: jax.Array | None = None,
 ):
     """Max over in-radius band features (banded twin of neighbor_maxpool;
     reference functional.py:53-66 maxes over the kNN rows instead).
@@ -245,7 +373,7 @@ def banded_maxpool(
         cchunk //= 2
 
     def pool(q, p, f, tau_t):
-        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)  # (T, band)
+        d2 = _membership_d2(q, p)  # (T, band), kernel-exact arithmetic
         within = d2 <= (r2 if tau_t is None else tau_t[:, None])
         any_within = jnp.any(within, axis=-1)[..., None]
 
@@ -261,12 +389,17 @@ def banded_maxpool(
         out = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], c)
         return jnp.where(any_within, out, 0.0)
 
-    if dense:
+    if dense and starts is None:
         return jax.checkpoint(pool)(q_points, s_points, s_feats, tau)
+
+    if starts is not None:
+        band = min(band_width, n)  # full window width (dynamic_band_starts)
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
-        start = _band_start(t, tile, m, n, band)
+        start = (
+            _band_start(t, tile, m, n, band) if starts is None else starts[t]
+        )
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         f = jax.lax.dynamic_slice(s_feats, (start, 0), (band, c))
         tau_t = (
@@ -323,7 +456,7 @@ def banded_knn_select(
     kk = min(k, band)
 
     def select(q, p):
-        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        d2 = _membership_d2(q, p)
         _, rel = _nearest_k(d2, kk, approx)
         return rel.astype(jnp.int32)
 
@@ -394,7 +527,7 @@ def banded_compact_maxpool(
 
     def pool(q, p, f, rel_t):
         if rel_t is None:
-            d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+            d2 = _membership_d2(q, p)
             negk, idx = _nearest_k(d2, kk, approx)  # nearest first
             d2k = -negk  # (T, kk)
         else:
@@ -406,7 +539,7 @@ def banded_compact_maxpool(
             return out if kk else jnp.zeros((q.shape[0], c), f.dtype)
         if d2k is None:
             p_rows = jnp.take(p, idx, axis=0)  # (T, kk, 3)
-            d2k = jnp.sum((p_rows - q[:, None, :]) ** 2, axis=-1)
+            d2k = _membership_d2_rows(q, p_rows)
         member = d2k <= r2  # (T, kk)
         out = jnp.max(jnp.where(member[..., None], rows, neg), axis=1)
         return jnp.where(member.any(-1)[:, None], out, 0.0)
@@ -503,7 +636,7 @@ def banded_compact_aggregate(
     def aggregate(q, p, f, rel_t):
         # q (T,3), p (band,3), f (band,C), rel_t (T,kk) or None
         if rel_t is None or not knn:
-            d2full = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+            d2full = _membership_d2(q, p)
         if rel_t is None:
             _, idx = _nearest_k(d2full, kk, approx)  # (T, kk), nearest first
         else:
@@ -511,12 +644,12 @@ def banded_compact_aggregate(
         p_rows = jnp.take(p, idx, axis=0)  # (T, kk, 3)
         f_rows = jnp.take(f, idx, axis=0)  # (T, kk, C)
         offs = p_rows - q[:, None, :]
-        infl, d2k = _influence(offs, kp, sigma)  # (T, kk, K), (T, kk)
+        infl, _ = _influence(offs, kp, sigma)  # (T, kk, K)
         if knn:
             active = jnp.sum(f_rows, axis=-1) > 0.0  # (T, kk)
             count = jnp.sum(active, axis=-1)
         else:
-            within = d2k <= r2
+            within = _membership_d2_rows(q, p_rows) <= r2
             infl = jnp.where(within[..., None], infl, 0.0)
             count = jnp.sum(d2full <= r2, axis=-1)  # uncapped, as banded
         count = jnp.maximum(count, 1)
@@ -583,14 +716,23 @@ def banded_knn_tau(
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
 
     def tau_of(q, p):
-        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        d2 = _membership_d2(q, p)
         if kk < d2.shape[-1]:
             top = -jax.lax.top_k(-d2, kk + 1)[0]  # (T, kk+1) ascending
             kth, nxt = top[:, -2], top[:, -1]
         else:
             kth = -jax.lax.top_k(-d2, kk)[0][:, -1]
             nxt = kth * (1.0 + 2e-6) + 2e-12  # no (k+1)-th: eps-pad fallback
-        return 0.5 * (kth + nxt)
+        # An exact k/(k+1) tie (duplicated points) puts the midpoint AT the
+        # tied distance, where consumer-vs-producer ulp noise (XLA may fuse
+        # the d2 accumulation into FMAs; Mosaic schedules it differently)
+        # flips membership and with it the maxpool/aggregation outputs.  So
+        # tau is at least a hair (rel 1e-5 >> few-ulp noise, << real k/k+1
+        # gaps on voxel-downsampled clouds) above the k-th distance: exact
+        # ties are admitted under ANY fp32 arithmetic, and near-ties within
+        # rel 1e-5 admit the (k+1)-th too — a documented approximation the
+        # reference's arbitrary kNN tie-breaking makes equally valid.
+        return jnp.maximum(0.5 * (kth + nxt), kth * (1.0 + 1e-5) + 1e-12)
 
     if dense:
         return tau_of(q_points, s_points)
@@ -623,7 +765,7 @@ def banded_nearest_index(
     tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
 
     def nearest(q, p, start):
-        d2 = jnp.sum((p[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+        d2 = _membership_d2(q, p)
         return (jnp.argmin(d2, axis=-1) + start).astype(jnp.int32)
 
     if dense:

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cofii2p_tpu.ops.banded import (
     _band_geometry,
     _load_kernel_points,
+    _slice_bands_dyn,
     kernel_reach,
 )
 
@@ -165,30 +166,49 @@ def banded_kpconv_aggregate_pallas(
     tile: int = 128,
     band_width: int = 1024,
     dtype=jnp.float32,
+    starts: jax.Array | None = None,
 ):
     """Fused-kernel twin of ops.banded.banded_kpconv_aggregate (batched).
 
     Args are batched: s_feats (B, N, C), q_points (B, M, 3), s_points
     (B, N, 3).  Returns (weighted (B, M, K, C) fp32, count (B, M) int32).
+
+    ``starts``: optional (B, num_tiles) int32 per-tile window starts from
+    dynamic_band_starts — ``band_width`` is then the full window width (the
+    kernels never consume absolute indices in the forward: membership comes
+    from coordinates, so only the stack slicing changes).  Forward-only for
+    now (the transposed backward's query-window plan is static).
     """
     return _forward(
         s_feats, q_points, s_points, radius, sigma, kernel_size, tile,
-        band_width, dtype,
+        band_width, dtype, starts,
     )
 
 
-def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band_width, dtype):
+def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band_width, dtype, starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     # Chunking is for the skip guard, and only pays where chunks actually
@@ -228,12 +248,12 @@ def _forward(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band
     return weighted, count
 
 
-def _fwd(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band_width, dtype):
+def _fwd(s_feats, q_points, s_points, radius, sigma, kernel_size, tile, band_width, dtype, starts=None):
     out = _forward(
         s_feats, q_points, s_points, radius, sigma, kernel_size, tile,
-        band_width, dtype,
+        band_width, dtype, starts,
     )
-    return out, (s_feats, q_points, s_points)
+    return out, (s_feats, q_points, s_points, starts)
 
 
 _BWD_STILE = 256  # support rows per backward grid cell (shrunk to divide N)
@@ -379,14 +399,20 @@ def _transpose_agg(g_weighted, q_points, s_points, n, c, radius, sigma,
 def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
     """Pallas backward: only s_feats receives gradient (pyramid
     coordinates are pipeline data, never parameters)."""
-    s_feats, q_points, s_points = res
+    s_feats, q_points, s_points, starts = res
+    if starts is not None:
+        raise NotImplementedError(
+            "dynamic band starts are eval/forward-only: the transposed "
+            "backward's query-window plan is static (kpconv_dynamic_plan "
+            "must stay off for training configs)"
+        )
     g_weighted, _ = g
     n, c = s_feats.shape[-2:]
     g_feats = _transpose_agg(
         g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
         tile, band_width, dtype,
     )
-    return g_feats.astype(s_feats.dtype), None, None
+    return g_feats.astype(s_feats.dtype), None, None, None
 
 
 banded_kpconv_aggregate_pallas.defvjp(_fwd, _bwd)
@@ -763,6 +789,7 @@ def banded_kpconv_fused_pallas(
     tile: int = 128,
     band_width: int = 1024,
     dtype=jnp.float32,
+    starts: jax.Array | None = None,
 ):
     """Aggregation fused with the (K, Cin, Cout) weight contraction.
 
@@ -770,27 +797,40 @@ def banded_kpconv_fused_pallas(
     bias outside — and count (B, M) int32).  When differentiated, the
     unfused forward runs instead so `weighted` is available as a residual
     for dW (training keeps today's cost; eval takes the fused kernel).
+    ``starts``: see banded_kpconv_aggregate_pallas (forward-only).
     """
     return _fused_forward(
         s_feats, q_points, s_points, weights, radius, sigma, kernel_size,
-        tile, band_width, dtype,
+        tile, band_width, dtype, starts,
     )
 
 
 def _fused_forward(s_feats, q_points, s_points, weights, radius, sigma,
-                   kernel_size, tile, band_width, dtype):
+                   kernel_size, tile, band_width, dtype, starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     d_out = weights.shape[-1]
     kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
     k_num = kp.shape[0]
     r2 = kernel_reach(radius, sigma, kernel_size) ** 2
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
     w2 = weights.reshape(k_num * c, d_out)
 
     interpret = jax.devices()[0].platform != "tpu"
@@ -827,7 +867,12 @@ def _fused_forward(s_feats, q_points, s_points, weights, radius, sigma,
 
 
 def _fused_fwd(s_feats, q_points, s_points, weights, radius, sigma,
-               kernel_size, tile, band_width, dtype):
+               kernel_size, tile, band_width, dtype, starts=None):
+    if starts is not None:
+        raise NotImplementedError(
+            "dynamic band starts are eval/forward-only (see "
+            "banded_kpconv_aggregate_pallas)"
+        )
     # differentiation path: unfused aggregation + XLA einsum, so `weighted`
     # is a residual for dW (mirrors the unfused training path exactly)
     weighted, count = _forward(
@@ -860,7 +905,10 @@ def _fused_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
         "bmkc,bmd->kcd", weighted.astype(cdt), g_out.astype(cdt),
         preferred_element_type=jnp.float32,
     )
-    return g_feats.astype(s_feats.dtype), None, None, g_w.astype(weights.dtype)
+    return (
+        g_feats.astype(s_feats.dtype), None, None,
+        g_w.astype(weights.dtype), None,
+    )
 
 
 banded_kpconv_fused_pallas.defvjp(_fused_fwd, _fused_bwd)

@@ -26,9 +26,18 @@ Backward (custom_vjp, also Pallas): transposed over support tiles with the
 same query-window/scalar-prefetch plan as the aggregation backward
 (ops/kpconv_kernel.py), the query rows swept by a fourth grid axis —
 gradient is routed to every band member whose feature equals the forward
-max (`f == out`): exact float ties receive the gradient in full (XLA's
-autodiff splits it evenly; ties are measure-zero for real feature tensors,
-and the parity tests use all-distinct values).
+max (`f == out`).  Exact float ties are NOT measure-zero for this
+pipeline: `resample_fixed` pads under-full clouds by duplicating points
+(reference kitti.py:168-180 does the same via np.random.choice with
+replacement), and duplicates share coordinates AND features, so routing
+the full cotangent to each tie would amplify the summed gradient N-fold.
+A count pass (`_match_count`, forward grid geometry) therefore divides
+the cotangent by the per-(query, channel) number of ties before routing —
+each tie receives g/cnt, exactly XLA autodiff's even-split semantics
+(the reference's torch.max routes to a single argmax instead; the total
+mass into the duplicated point is identical, see PARITY.md).
+`tie_even=False` skips the count pass (full routing, the pre-round-3
+behavior) for A/B measurement.
 """
 
 from __future__ import annotations
@@ -41,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cofii2p_tpu.ops.banded import _band_geometry
+from cofii2p_tpu.ops.banded import _band_geometry, _slice_bands_dyn
 from cofii2p_tpu.ops.kpconv_kernel import (
     _band_starts_np,
     _bwd_geometry,
@@ -132,7 +141,7 @@ def _maxpool_kernel(q_ref, pT_ref, f_ref, out_ref, cnt_ref, *, r2):
         out_ref[0, :, :] = fixed.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def banded_maxpool_pallas(
     s_feats: jax.Array,
     q_points: jax.Array,
@@ -140,24 +149,50 @@ def banded_maxpool_pallas(
     r_active: float,
     tile: int = 128,
     band_width: int = 1024,
+    tie_even: bool = True,
+    starts: jax.Array | None = None,
 ):
     """Fused-kernel twin of ops.banded.banded_maxpool (batched).
 
     s_feats (B, N, C), q_points (B, M, 3), s_points (B, N, 3) ->
     (B, M, C) in the dtype of ``s_feats``.
+
+    ``tie_even`` (backward only): divide the routed gradient by the
+    per-(query, channel) tie count so exact-duplicate support rows (the
+    ``resample_fixed`` padding) split the cotangent like XLA autodiff
+    instead of each receiving it in full.
+
+    ``starts``: optional (B, num_tiles) int32 dynamic window starts
+    (ops.banded.dynamic_band_starts); band_width is then the full window
+    width.  Forward-only (see banded_kpconv_aggregate_pallas).
     """
-    return _forward(s_feats, q_points, s_points, r_active, tile, band_width)
+    return _forward(
+        s_feats, q_points, s_points, r_active, tile, band_width, starts
+    )
 
 
-def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
+def _forward(s_feats, q_points, s_points, r_active, tile, band_width, starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     r2 = float(r_active) ** 2
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
 
     # Mosaic lane-dim blocks must be 128-multiples or the full dim; a
     # non-128-multiple C therefore runs unchunked
@@ -190,9 +225,90 @@ def _forward(s_feats, q_points, s_points, r_active, tile, band_width):
     return out
 
 
-def _fwd(s_feats, q_points, s_points, r_active, tile, band_width):
-    out = _forward(s_feats, q_points, s_points, r_active, tile, band_width)
-    return out, (s_feats, q_points, s_points, out)
+def _fwd(s_feats, q_points, s_points, r_active, tile, band_width, tie_even, starts=None):
+    out = _forward(
+        s_feats, q_points, s_points, r_active, tile, band_width, starts
+    )
+    return out, (s_feats, q_points, s_points, out, starts)
+
+
+def _count_kernel(q_ref, pT_ref, f_ref, thr_ref, o_ref, cnt_ref):
+    """One (batch, query-tile, channel-chunk, band-chunk) cell of the
+    tie-count pass: cnt[m, c] = |{j in band, d2 <= thr_m : f[j, c] ==
+    out[m, c]}| — the denominator that turns the backward's
+    route-to-every-tie into XLA autodiff's even split.
+
+    Same grid geometry and tile-first centering as the forward kernel, so
+    the d2 <= thr membership is bit-identical to the forward's.  thr_ref
+    (1, tile, 1) carries r2 (radius variant, broadcast) or tau (kNN).
+    """
+    bc = pl.program_id(3)
+
+    @pl.when(bc == 0)
+    def _init():
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    f = f_ref[0, 0].astype(jnp.float32)  # (bch, cc)
+    o = o_ref[0].astype(jnp.float32)  # (tile, cc)
+    thr = thr_ref[0]  # (tile, 1)
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    wi = (d2 <= thr).astype(jnp.float32)  # (tile, bch)
+
+    @pl.when(jnp.sum(wi) > 0.0)
+    def _count():
+        # fold membership into the equality as an fp32 shift, as in the
+        # routing kernel: a shifted max can never equal a finite feature
+        shift = (1.0 - wi[:, :, None]) * 1e30
+        eq = f[None, :, :] == (o[:, None, :] + shift)  # (tile, bch, cc)
+        cnt_ref[0, :, :] += jnp.sum(
+            jnp.where(eq, 1.0, 0.0), axis=1
+        )
+
+
+def _match_count(s_feats, q_points, s_points, thr, out, tile, band_width):
+    """Per-(query, channel) count of band members tied at the forward max.
+
+    thr: (B, M) squared-distance membership thresholds (full r2 for the
+    radius variant, tau for the kNN variant).  Returns (B, M, C) fp32,
+    >= 1 wherever the neighborhood is non-empty.
+    """
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+    starts = _band_starts_np(m, n, tile, band, num_tiles)
+    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
+    thr3 = thr.reshape(b, m, 1).astype(jnp.float32)
+
+    cc = 128 if c % 128 == 0 else c
+    interpret = jax.devices()[0].platform != "tpu"
+    bch = band if interpret else _row_chunk(band)
+    if _FORCE_CHUNKS is not None:
+        fc, fb = _FORCE_CHUNKS
+        cc, bch = fc or cc, fb or bch
+        assert c % cc == 0 and band % bch == 0, (c, cc, band, bch)
+    return pl.pallas_call(
+        _count_kernel,
+        grid=(b, num_tiles, c // cc, band // bch),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, cj, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, cc), lambda bb, tt, cj, bc: (bb, tt, bc, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, c), jnp.float32),
+        interpret=interpret,
+    )(q_points, band_pT, band_f, thr3, out)
 
 
 def _maxpool_bwd_kernel(
@@ -258,13 +374,24 @@ def _maxpool_bwd_kernel(
         )
 
 
-def _bwd(r_active, tile, band_width, res, g):
+def _bwd(r_active, tile, band_width, tie_even, res, g):
     """Transposed Pallas backward: only s_feats receives gradient (the
     pyramid coordinates are pipeline data, never parameters)."""
-    s_feats, q_points, s_points, out = res
+    s_feats, q_points, s_points, out, starts = res
+    if starts is not None:
+        raise NotImplementedError(
+            "dynamic band starts are eval/forward-only (see "
+            "banded_kpconv_aggregate_pallas)"
+        )
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     r2 = float(r_active) ** 2
+    if tie_even:
+        thr = jnp.full((b, m), r2, jnp.float32)
+        cnt = _match_count(
+            s_feats, q_points, s_points, thr, out, tile, band_width
+        )
+        g = g / jnp.maximum(cnt, 1.0)
     tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
     starts = _band_starts_np(m, n, tile_q, band, num_tiles)
     stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)
@@ -322,7 +449,7 @@ def _bwd(r_active, tile, band_width, res, g):
         jnp.asarray(qstart_sub), q_points, tile_refs, bs_per_query,
         g.astype(jnp.float32), out.astype(jnp.float32), pT, fs,
     )
-    return g_flat.astype(s_feats.dtype), None, None
+    return g_flat.astype(s_feats.dtype), None, None, None
 
 
 banded_maxpool_pallas.defvjp(_fwd, _bwd)
@@ -381,7 +508,7 @@ def _maxpool_kernel_tau(q_ref, pT_ref, f_ref, tau_ref, out_ref, cnt_ref):
         out_ref[0, :, :] = fixed.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def banded_maxpool_tau_pallas(
     s_feats: jax.Array,
     q_points: jax.Array,
@@ -389,9 +516,11 @@ def banded_maxpool_tau_pallas(
     tau: jax.Array,
     tile: int = 128,
     band_width: int = 1024,
+    tie_even: bool = True,
 ):
     """tau twin of banded_maxpool_pallas: membership from each query's
-    squared k-NN threshold (banded_knn_tau).  tau (B, M)."""
+    squared k-NN threshold (banded_knn_tau).  tau (B, M).
+    ``tie_even``: see banded_maxpool_pallas."""
     return _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
 
 
@@ -434,7 +563,7 @@ def _tau_forward(s_feats, q_points, s_points, tau, tile, band_width):
     return out
 
 
-def _tau_fwd(s_feats, q_points, s_points, tau, tile, band_width):
+def _tau_fwd(s_feats, q_points, s_points, tau, tile, band_width, tie_even):
     out = _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
     return out, (s_feats, q_points, s_points, tau, out)
 
@@ -480,10 +609,15 @@ def _maxpool_bwd_kernel_tau(
         )
 
 
-def _tau_bwd(tile, band_width, res, g):
+def _tau_bwd(tile, band_width, tie_even, res, g):
     s_feats, q_points, s_points, tau, out = res
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
+    if tie_even:
+        cnt = _match_count(
+            s_feats, q_points, s_points, tau, out, tile, band_width
+        )
+        g = g / jnp.maximum(cnt, 1.0)
     tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
     starts = _band_starts_np(m, n, tile_q, band, num_tiles)
     stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)

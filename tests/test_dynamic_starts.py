@@ -1,0 +1,159 @@
+"""Dynamic per-tile band starts (ops.banded.dynamic_band_starts).
+
+The static band plan sizes deep-level bands for worst-case Morton
+discontinuities; the dynamic path measures each tile's actual in-reach
+index span on device and centers a much narrower window on it.  These
+tests pin (a) the starts themselves (exact span recovery), (b) the
+windowed XLA twins against the full-band results when the window covers
+the span, and (c) the Pallas forwards against the XLA twins with shared
+starts — all in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from cofii2p_tpu.ops.banded import (
+    banded_kpconv_aggregate,
+    banded_maxpool,
+    dynamic_band_starts,
+    kernel_reach,
+)
+from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_aggregate_pallas
+from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_pallas
+from cofii2p_tpu.ops.pyramid import morton_order
+
+RADIUS, SIGMA, KS = 0.85, 0.4, 15
+R_ACTIVE = kernel_reach(RADIUS, SIGMA, KS)
+
+
+def _cloud(n, rng, extent=60.0):
+    pts = np.concatenate(
+        [
+            rng.uniform(0, extent, (n, 1)),
+            rng.uniform(0, 4.0, (n, 1)),
+            rng.uniform(0, 2.0, (n, 1)),
+        ],
+        1,
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    return pts[order]
+
+
+def test_starts_recover_exact_spans():
+    """On a cloud sorted along x, each tile's in-reach span is a contiguous
+    run; the computed window must contain every in-reach row."""
+    rng = np.random.default_rng(0)
+    n = 512
+    pts = _cloud(n, rng)
+    # sorted-x support makes spans tight and easy to verify by brute force
+    order = np.argsort(pts[:, 0], kind="stable")
+    pts = pts[order]
+    q = jnp.asarray(pts)
+    width = 256
+    starts = np.asarray(
+        dynamic_band_starts(
+            q, q, R_ACTIVE, tile=128, width=width, center="span"
+        )
+    )
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    within = d2 <= R_ACTIVE**2
+    for t in range(len(starts)):
+        rows = within[t * 128 : (t + 1) * 128].any(0)
+        (idx,) = np.nonzero(rows)
+        assert idx.min() >= starts[t]
+        assert idx.max() < starts[t] + width, (t, starts[t], idx.max())
+
+
+@pytest.mark.parametrize("width", [256, 512])
+def test_windowed_twins_match_full_band(width):
+    """When the dynamic window covers each tile's span, the windowed ops
+    equal the full-band (band == whole level) results exactly."""
+    rng = np.random.default_rng(1)
+    n, c = 512, 16
+    pts = _cloud(n, rng)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    q = jnp.asarray(pts)
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    starts = dynamic_band_starts(
+        q, q, R_ACTIVE, tile=128, width=width, center="span"
+    )
+
+    full_mp = banded_maxpool(feats, q, q, R_ACTIVE, 128, 1 << 20)
+    dyn_mp = banded_maxpool(
+        feats, q, q, R_ACTIVE, 128, width, starts=starts
+    )
+    np.testing.assert_array_equal(np.asarray(full_mp), np.asarray(dyn_mp))
+
+    full_w, full_c = banded_kpconv_aggregate(
+        feats, q, q, RADIUS, SIGMA, KS, 128, 1 << 20
+    )
+    dyn_w, dyn_c = banded_kpconv_aggregate(
+        feats, q, q, RADIUS, SIGMA, KS, 128, width, starts=starts
+    )
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(dyn_c))
+    np.testing.assert_allclose(
+        np.asarray(full_w), np.asarray(dyn_w), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_forwards_match_xla_with_shared_starts():
+    """The Pallas kernels with dynamic starts reproduce the XLA twins with
+    the same starts (interpret mode; batched)."""
+    rng = np.random.default_rng(2)
+    n, c, b = 512, 16, 2
+    width = 256
+    pts = np.stack([_cloud(n, rng) for _ in range(b)])
+    feats = rng.normal(size=(b, n, c)).astype(np.float32)
+    q = jnp.asarray(pts)
+    f = jnp.asarray(feats)
+    starts = jax.vmap(
+        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=width)
+    )(q)
+
+    mp_pl = banded_maxpool_pallas(
+        f, q, q, R_ACTIVE, 128, width, True, starts
+    )
+    mp_x = jax.vmap(
+        lambda ff, p, st: banded_maxpool(
+            ff, p, p, R_ACTIVE, 128, width, starts=st
+        )
+    )(f, q, starts)
+    np.testing.assert_array_equal(np.asarray(mp_pl), np.asarray(mp_x))
+
+    w_pl, c_pl = banded_kpconv_aggregate_pallas(
+        f, q, q, RADIUS, SIGMA, KS, 128, width, jnp.float32, starts
+    )
+    w_x, c_x = jax.vmap(
+        lambda ff, p, st: banded_kpconv_aggregate(
+            ff, p, p, RADIUS, SIGMA, KS, 128, width, starts=st
+        )
+    )(f, q, starts)
+    np.testing.assert_array_equal(np.asarray(c_pl), np.asarray(c_x))
+    np.testing.assert_allclose(
+        np.asarray(w_pl), np.asarray(w_x), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_dynamic_backward_raises():
+    """Dynamic starts are eval/forward-only; differentiating through them
+    must fail loudly, not silently drop gradient."""
+    rng = np.random.default_rng(3)
+    n, c = 256, 8
+    pts = jnp.asarray(_cloud(n, rng))[None]
+    f = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
+    starts = jax.vmap(
+        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=128)
+    )(pts)
+    with pytest.raises(NotImplementedError):
+        jax.grad(
+            lambda ff: jnp.sum(
+                banded_maxpool_pallas(
+                    ff, pts, pts, R_ACTIVE, 128, 128, True, starts
+                )
+            )
+        )(f)

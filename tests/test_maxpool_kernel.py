@@ -21,12 +21,23 @@ def _setup(b=2, n=256, c=16, seed=0):
     rng = np.random.default_rng(seed)
     pts = np.stack([_cloud(n, rng) for _ in range(b)])
     # all-distinct feature values: exact fp32 collisions are a real (if
-    # measure-zero) event for rng.normal at this size, and the kernel's
-    # documented tie deviation (full routing vs XLA's even split) would
-    # trip the gradient parity asserts
+    # measure-zero) event for rng.normal at this size; tied values are
+    # exercised separately by the duplicate-point tests below
     vals = rng.permutation(b * n * c).astype(np.float32)
     feats = ((vals - vals.mean()) / (b * n * c / 4)).reshape(b, n, c)
     return jnp.asarray(feats), jnp.asarray(pts)
+
+
+def _setup_duplicates(n_unique=96, n_dup=32, c=8, seed=11):
+    """A cloud padded by exact point duplication — the resample_fixed
+    padding semantics that makes maxpool ties real, not measure-zero."""
+    rng = np.random.default_rng(seed)
+    pts_u = _cloud(n_unique, rng)
+    feats_u = rng.normal(size=(n_unique, c)).astype(np.float32)
+    pts = np.concatenate([pts_u, pts_u[:n_dup]], 0)
+    feats = np.concatenate([feats_u, feats_u[:n_dup]], 0)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    return jnp.asarray(feats[order])[None], jnp.asarray(pts[order])[None]
 
 
 R_ACTIVE = kernel_reach(0.85, 0.4, 15)
@@ -143,6 +154,66 @@ def test_gradient_strided_multitile():
     g_xla = jax.grad(loss_xla)(feats)
     np.testing.assert_allclose(
         np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tie_gradient_even_split_with_duplicates():
+    """Duplicated (padded) points tie at the max in every channel; the
+    backward's count pass must split the cotangent evenly like XLA
+    autodiff — full routing would amplify the summed gradient N-fold."""
+    feats, pts = _setup_duplicates()
+    kw = dict(tile=32, band_width=32)
+    g = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 128, 8)).astype(np.float32)
+    )
+
+    def loss_pl(f):
+        return jnp.sum(banded_maxpool_pallas(f, pts, pts, R_ACTIVE, **kw) * g)
+
+    def loss_xla(f):
+        return jnp.sum(_xla(f, pts, pts, **kw) * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-6
+    )
+    # sanity: the ties are real — tie_even=False (the pre-fix routing)
+    # must NOT match on this input
+    def loss_full(f):
+        return jnp.sum(
+            banded_maxpool_pallas(f, pts, pts, R_ACTIVE, kw["tile"],
+                                  kw["band_width"], False) * g
+        )
+
+    g_full = jax.grad(loss_full)(feats)
+    assert np.abs(np.asarray(g_full) - np.asarray(g_xla)).max() > 1e-3
+
+
+def test_tau_tie_gradient_even_split_with_duplicates():
+    from cofii2p_tpu.ops.banded import banded_knn_tau
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    feats, pts = _setup_duplicates(seed=13)
+    kw = dict(tile=32, band_width=32)
+    tau = jax.vmap(lambda q, s: banded_knn_tau(q, s, k=12, **kw))(pts, pts)
+    g = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, 128, 8)).astype(np.float32)
+    )
+
+    def loss_pl(f):
+        return jnp.sum(banded_maxpool_tau_pallas(f, pts, pts, tau, **kw) * g)
+
+    def loss_xla(f):
+        out = jax.vmap(
+            lambda ff, q, s, t: banded_maxpool(ff, q, s, 0.0, tau=t, **kw)
+        )(f, pts, pts, tau)
+        return jnp.sum(out * g)
+
+    g_pl = jax.grad(loss_pl)(feats)
+    g_xla = jax.grad(loss_xla)(feats)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_xla), rtol=1e-5, atol=1e-6
     )
 
 

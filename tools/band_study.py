@@ -58,6 +58,54 @@ def influence_mass_coverage(q, s, radius, sigma, kernel_size, tile, band_width):
     )
 
 
+def influence_mass_coverage_dyn(q, s, radius, sigma, kernel_size, tile, width):
+    """Same metric, but with the DYNAMIC per-tile window starts
+    (ops/banded.dynamic_band_starts semantics: measure each query tile's
+    exact in-reach index span, center a ``width`` window on it)."""
+    from scipy.spatial import cKDTree
+
+    from cofii2p_tpu.models.kernel_points import load_kernel_points
+    from cofii2p_tpu.ops.banded import kernel_reach
+
+    m, n = len(q), len(s)
+    kp = np.asarray(load_kernel_points(radius, kernel_size, 3))
+    r = kernel_reach(radius, sigma, kernel_size)
+    width = min(width, n)
+    if width >= n:
+        return 1.0, 1.0
+
+    pairs = cKDTree(q).query_ball_tree(cKDTree(s), r)
+    nt = m // tile
+    starts = np.zeros(m, np.int64)
+    for t in range(nt):
+        js_all = [j for i in range(t * tile, (t + 1) * tile) for j in pairs[i]]
+        if js_all:
+            # in-reach centroid (multiplicity-weighted), as on device
+            st = int(np.mean(js_all)) - width // 2
+        else:
+            st = ((2 * t * tile + tile) * n) // (2 * m) - width // 2
+        starts[t * tile : (t + 1) * tile] = np.clip(st, 0, n - width)
+
+    total_mass = in_mass = 0.0
+    total_pairs = in_pairs = 0
+    for i, js in enumerate(pairs):
+        if not js:
+            continue
+        js = np.asarray(js)
+        offs = s[js] - q[i]
+        dk = np.linalg.norm(offs[:, None, :] - kp[None, :, :], axis=-1)
+        mass = np.maximum(1.0 - dk / sigma, 0.0).sum(-1)
+        inb = (js >= starts[i]) & (js < starts[i] + width)
+        total_mass += mass.sum()
+        in_mass += mass[inb].sum()
+        total_pairs += len(js)
+        in_pairs += int(inb.sum())
+    return (
+        in_pairs / max(total_pairs, 1),
+        in_mass / max(total_mass, 1e-12),
+    )
+
+
 def nearest_recall(q, s, tile, band_width):
     from scipy.spatial import cKDTree
 
@@ -90,6 +138,10 @@ def main():
     ap.add_argument("--tile", type=int, default=128)
     ap.add_argument("--scaled", action="store_true",
                     help="interpret widths as level-0 widths, x2 per support level")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="use dynamic per-tile span-centered window starts "
+                    "(ops/banded.dynamic_band_starts) instead of the static "
+                    "proportional plan")
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
 
@@ -119,8 +171,13 @@ def main():
         row = []
         for w in widths:
             eff = w * (2**sl) if args.scaled else w
+            cov_fn = (
+                influence_mass_coverage_dyn
+                if args.dynamic
+                else influence_mass_coverage
+            )
             masses = [
-                influence_mass_coverage(
+                cov_fn(
                     lv[ql], lv[sl], r0 * rs, s0 * rs, ks, args.tile, eff
                 )[1]
                 for lv in levels_per_frame

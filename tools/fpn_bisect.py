@@ -72,7 +72,7 @@ def main():
         norm=cfg.norm, group_norm=cfg.group_norm, dtype=dtype,
         impl=cfg.kpconv_impl, tile=cfg.kpconv_tile,
         band_width=cfg.kpconv_band_width, band_plan=cfg.kpconv_band_plan,
-        kernel=cfg.kpconv_kernel,
+        kernel=cfg.kpconv_kernel, dynamic_plan=cfg.kpconv_dynamic_plan,
     )
     fpn_params = {"params": state.params["pc_encoder"]}
 
