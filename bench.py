@@ -172,6 +172,67 @@ def check_kernels(cfg):
         )
         sys.exit(1)
 
+    # tau (kNN-semantics) path — the kernels eval_all auto-selects for .t7
+    # reference checkpoints (kpconv_impl='banded_knn'): compiled-mode check
+    # of both tau Pallas twins against their XLA formulations each round.
+    # The producer's margined tau makes membership arithmetic-robust, so
+    # maxpool must agree bit-near-exactly and aggregation to MXU rounding.
+    from cofii2p_tpu.ops.banded import _load_kernel_points, banded_knn_tau
+    from cofii2p_tpu.ops.kpconv_kernel import (
+        banded_kpconv_aggregate_tau_pallas,
+    )
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    tau = jax.vmap(
+        lambda q, ss: banded_knn_tau(
+            q, ss, k=cfg.neighbor_num, tile=cfg.kpconv_tile, band_width=band
+        )
+    )(pts, pts)
+
+    mt_pl = banded_maxpool_tau_pallas(
+        feats, pts, pts, tau, cfg.kpconv_tile, band
+    )
+    mt_x = jax.vmap(
+        lambda f, q, ss, t: banded_maxpool(
+            f, q, ss, 0.0, cfg.kpconv_tile, band, tau=t
+        )
+    )(feats, pts, pts, tau)
+    mismatch = int(np.sum(np.asarray(mt_pl) != np.asarray(mt_x)))
+    if mismatch > 256:
+        bad = np.abs(np.asarray(mt_pl) - np.asarray(mt_x)).max()
+        print(
+            f"KERNEL REGRESSION: tau maxpool mismatch on {mismatch} entries "
+            f"(max abs {bad:.2e})",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    kp = jnp.asarray(_load_kernel_points(r, cfg.kernel_size), jnp.float32)
+    wt_pl, ct_pl = banded_kpconv_aggregate_tau_pallas(
+        feats, pts, pts, tau, kp, r, s, cfg.kernel_size, cfg.kpconv_tile,
+        band, jnp.float32,
+    )
+    wt_x, ct_x = jax.vmap(
+        lambda f, q, ss, t: banded_kpconv_aggregate(
+            f, q, ss, r, s, cfg.kernel_size, cfg.kpconv_tile, band,
+            tau=t, kp=kp,
+        )
+    )(feats, pts, pts, tau)
+    wt_pl64 = np.asarray(wt_pl)[0].astype(np.float64)
+    wt_x64 = np.asarray(wt_x)[0].astype(np.float64)
+    rms_t = float(np.sqrt(np.mean(wt_x64**2))) + 1e-12
+    rel = np.abs(wt_pl64 - wt_x64) / np.maximum(np.abs(wt_x64), rms_t)
+    cnt_diff = np.abs(
+        np.asarray(ct_pl)[0].astype(np.int64) - np.asarray(ct_x)[0].astype(np.int64)
+    )
+    if rel.max() > 5e-2 or cnt_diff.max() > 2:
+        print(
+            f"KERNEL REGRESSION: tau aggregation rel-vs-xla {rel.max():.2e} "
+            f"(count diff max {cnt_diff.max()})",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
 
 def main():
     from cofii2p_tpu.config import KITTIConfig
