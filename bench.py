@@ -244,7 +244,11 @@ def main():
 
     # bf16 serving config: ~10% faster than fp32 (PERF.md) and accuracy-
     # validated against fp32 on a trained checkpoint (same 32/32
-    # registration success, comparable RRE/RTE); params remain fp32
+    # registration success, comparable RRE/RTE); params remain fp32.
+    # NOTE: kpconv_dynamic_plan stays OFF here — at coverage-matched widths
+    # the dynamic windows moved the streamed pipeline only ~3 ms/batch (the
+    # skip guards already capture the same win in context; PERF.md round-3
+    # dynamic-window section, tools/dyn_pipeline_ab).
     cfg = KITTIConfig(compute_dtype="bfloat16")
 
     check_kernels(cfg)

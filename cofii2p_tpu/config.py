@@ -152,6 +152,14 @@ class Config:
     # tau.  EVAL/FORWARD-ONLY: the transposed backward's query-window plan
     # is static, so training configs must keep this None.
     kpconv_dynamic_plan: tuple | None = None
+    # Same, for the SELF (query level == support level) pairs.  None falls
+    # back to kpconv_dynamic_plan for both pair kinds; a separate plan exists
+    # because the measured wins differ (tools/dyn_mp_ab, B=8 KITTI scale):
+    # the cross pairs carry the strided-shortcut maxpool (select-bound, 2x+
+    # from a coverage-matched window) while self pairs only aggregate —
+    # MXU/BW-bound and near-free at deep levels, and at L1 the dynamic
+    # window measured *slower* than its static band.
+    kpconv_dynamic_plan_self: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

@@ -602,8 +602,12 @@ class KPConvFPN(nn.Module):
     # per-support-level dynamic window widths (config.kpconv_dynamic_plan):
     # 0/None = static band plan; W > 0 = per-tile device-measured starts
     # with a W-wide window (ops/banded.dynamic_band_starts; radius-banded
-    # impl only, eval/forward-only)
+    # impl only, eval/forward-only).  ``dynamic_plan`` applies to the CROSS
+    # (strided, query level != support level) pairs; ``dynamic_plan_self``
+    # to the self pairs, falling back to ``dynamic_plan`` when None (see
+    # config.kpconv_dynamic_plan_self for the measured rationale)
     dynamic_plan: Any = None
+    dynamic_plan_self: Any = None
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -652,17 +656,20 @@ class KPConvFPN(nn.Module):
                 return int(self.aggregate_compact_plan[support_lvl] or 0)
             return 0
 
-        def dyn_w(support_lvl: int) -> int:
+        def dyn_w(support_lvl: int, is_self: bool) -> int:
             # dynamic starts are radius-banded only (knn membership is
             # tau-based and the parity path keeps the static plan)
-            if self.dynamic_plan is None or self.impl != "banded":
+            plan = self.dynamic_plan
+            if is_self and self.dynamic_plan_self is not None:
+                plan = self.dynamic_plan_self
+            if plan is None or self.impl != "banded":
                 return 0
-            if support_lvl < len(self.dynamic_plan):
-                return int(self.dynamic_plan[support_lvl] or 0)
+            if support_lvl < len(plan):
+                return int(plan[support_lvl] or 0)
             return 0
 
-        def kw(support_lvl: int) -> dict:
-            w = dyn_w(support_lvl)
+        def kw(support_lvl: int, is_self: bool = True) -> dict:
+            w = dyn_w(support_lvl, is_self)
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile,
@@ -671,11 +678,11 @@ class KPConvFPN(nn.Module):
                 aggregate_compact=agg_compact(support_lvl),
             )
 
-        def starts_for(q_pts, s_pts, support_lvl, radius_scale):
+        def starts_for(q_pts, s_pts, support_lvl, radius_scale, is_self):
             # one starts tensor per (query level, support level) pair,
             # shared by every sibling block on it (the blocks at a pair all
             # run the same radius, so one in-reach span serves them all)
-            w = dyn_w(support_lvl)
+            w = dyn_w(support_lvl, is_self)
             if w == 0:
                 return None
             r_act = kernel_reach(
@@ -685,8 +692,11 @@ class KPConvFPN(nn.Module):
                 lambda q, sp: dynamic_band_starts(q, sp, r_act, self.tile, w)
             )(q_pts, s_pts)
 
-        def kw_res(support_lvl: int) -> dict:
-            return dict(kw(support_lvl), maxpool_compact=mp_compact(support_lvl))
+        def kw_res(support_lvl: int, is_self: bool = True) -> dict:
+            return dict(
+                kw(support_lvl, is_self),
+                maxpool_compact=mp_compact(support_lvl),
+            )
 
         def tau_for(q_pts, s_pts, support_lvl):
             # one tau per (query level, support level) pair, shared by all
@@ -724,7 +734,7 @@ class KPConvFPN(nn.Module):
         )
         tau0 = tau_for(points[0], points[0], 0)
         rel0 = rel_for(points[0], points[0], 0, agg_compact(0))
-        starts0 = starts_for(points[0], points[0], 0, 1)
+        starts0 = starts_for(points[0], points[0], 0, 1, is_self=True)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
             feats, points[0], points[0], nbr0, inf0, tau0, rel0, starts0
         )
@@ -760,10 +770,11 @@ class KPConvFPN(nn.Module):
             )
             rel_self = rel_for(points[lvl], points[lvl], lvl, agg_compact(lvl))
             starts_cross = starts_for(
-                points[lvl], points[lvl - 1], lvl - 1, 2 ** (stage - 2)
+                points[lvl], points[lvl - 1], lvl - 1, 2 ** (stage - 2),
+                is_self=False,
             )
             starts_self = starts_for(
-                points[lvl], points[lvl], lvl, 2 ** (stage - 1)
+                points[lvl], points[lvl], lvl, 2 ** (stage - 1), is_self=True
             )
             x = ResidualBlock(
                 cin,
@@ -773,7 +784,7 @@ class KPConvFPN(nn.Module):
                 s * 2 ** (stage - 2),
                 strided=True,
                 name=f"encoder{stage}_1",
-                **kw_res(lvl - 1),
+                **kw_res(lvl - 1, is_self=False),
             )(x, points[lvl], points[lvl - 1], sub, None, tau_cross, rel_cross,
               starts_cross)
             x = ResidualBlock(

@@ -121,6 +121,7 @@ class CoFiI2P(nn.Module):
             maxpool_compact_plan=cfg.maxpool_compact_plan,
             aggregate_compact_plan=cfg.aggregate_compact_plan,
             dynamic_plan=cfg.kpconv_dynamic_plan,
+            dynamic_plan_self=cfg.kpconv_dynamic_plan_self,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

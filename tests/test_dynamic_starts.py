@@ -157,3 +157,48 @@ def test_dynamic_backward_raises():
                 )
             )
         )(f)
+
+
+def test_model_dynamic_plan_matches_static():
+    """config.kpconv_dynamic_plan plumbed through the assembled network
+    (CoFiI2P -> KPConvFPN -> blocks): with windows that cover the whole
+    (tiny) levels, the dynamic-plan eval forward must reproduce the static
+    plan's outputs to fp tolerance (the same contract tools/drive_dynplan.py
+    checks on the real TPU).  XLA twins on both sides — this pins the MODEL
+    plumbing (per-pair shared starts, per-level width override), not the
+    kernels, which the tests above cover."""
+    import dataclasses
+
+    from cofii2p_tpu.config import get_config
+    from cofii2p_tpu.data.device_pipeline import prepare_samples
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.models import CoFiI2P
+
+    cfg_s = dataclasses.replace(
+        get_config("tiny"), kpconv_impl="banded", kpconv_kernel="xla"
+    )
+    # L0 stays static (a 256 window is a true subset of the 512-point level
+    # — outputs would legitimately differ); deeper levels are <= 256 points,
+    # so their windows cover the whole level and outputs must match
+    cfg_d = dataclasses.replace(
+        cfg_s, kpconv_dynamic_plan=(0, 256, 256, 256, 256)
+    )
+
+    ds = SyntheticDataset(cfg_s, "val", length=1)
+    item = ds[0]
+    host = {k: np.asarray(item[k])[None] for k in ("pc", "attrs", "P", "K", "img")}
+    batch = prepare_samples(
+        host["pc"], host["attrs"], host["P"], host["K"],
+        jax.random.PRNGKey(1), host["img"], cfg_s,
+    )
+
+    outs = []
+    for cfg in (cfg_s, cfg_d):
+        model = CoFiI2P(cfg)
+        vars_ = model.init(jax.random.PRNGKey(1), batch, mode="train", train=False)
+        outs.append(model.apply(vars_, batch, mode="train", train=False))
+    for k in ("coarse_pc_score", "fine_pc_feature"):
+        np.testing.assert_allclose(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]),
+            rtol=5e-4, atol=5e-4, err_msg=k,
+        )
