@@ -197,8 +197,12 @@ def check_kernels(cfg):
             f, q, ss, 0.0, cfg.kpconv_tile, band, tau=t
         )
     )(feats, pts, pts, tau)
+    # The margined tau (midpoint of the k/(k+1) distance gap) plus the
+    # bit-stable _membership_d2 make membership arithmetic-identical on both
+    # paths, so the tau maxpool must agree BIT-EXACTLY (threshold 0; the
+    # radius variant above keeps 256 for float reach-boundary rounding).
     mismatch = int(np.sum(np.asarray(mt_pl) != np.asarray(mt_x)))
-    if mismatch > 256:
+    if mismatch > 0:
         bad = np.abs(np.asarray(mt_pl) - np.asarray(mt_x)).max()
         print(
             f"KERNEL REGRESSION: tau maxpool mismatch on {mismatch} entries "
@@ -247,8 +251,8 @@ def main():
     # registration success, comparable RRE/RTE); params remain fp32.
     # NOTE: kpconv_dynamic_plan stays OFF here — at coverage-matched widths
     # the dynamic windows moved the streamed pipeline only ~3 ms/batch (the
-    # skip guards already capture the same win in context; PERF.md round-3
-    # dynamic-window section, tools/dyn_pipeline_ab).
+    # skip guards already capture the same win in context; PERF.md round-4
+    # "dynamic windows in context" section, tools/dyn_pipeline_ab).
     cfg = KITTIConfig(compute_dtype="bfloat16")
 
     check_kernels(cfg)

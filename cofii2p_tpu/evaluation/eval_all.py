@@ -47,6 +47,32 @@ def load_weights(ckpt: str, cfg, model, sample_host_batch, has_normals):
     return state.params, state.batch_stats
 
 
+def reference_ckpt_config(cfg, overrides):
+    """Auto-selection for reference ``.t7``/``.pth`` checkpoints (explicit
+    ``key=value`` overrides always win):
+
+    - ``kpconv_impl='banded_knn'`` — the weights were trained with kNN
+      neighborhoods; this is reference kNN semantics on the banded machinery
+      (tests/test_banded_knn.py proves it equal to the gather parity path at
+      full band coverage).  ``kpconv_impl=gather`` overrides to the exact
+      index-map formulation for spot parity checks (~10x slower).
+    - ``kpconv_shared_influence=False`` — each reference layer carries its
+      own rotated/jittered kernel disposition buffer.
+    - ``fine_decode='reference'`` — the published RRE/RTE were measured with
+      the reference's SWAPPED fine decode
+      (/root/reference/evaluation/eval_all.py:104-105), so a reproduction
+      must use it too; ``fine_decode=label`` stays available (PARITY.md).
+    """
+    keyed = {o.split("=", 1)[0] for o in overrides if "=" in o}
+    if "kpconv_impl" not in keyed:
+        cfg = cfg.replace(kpconv_impl="banded_knn")
+    if "kpconv_shared_influence" not in keyed:
+        cfg = cfg.replace(kpconv_shared_influence=False)
+    if "fine_decode" not in keyed:
+        cfg = cfg.replace(fine_decode="reference")
+    return cfg
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Image-to-Point Cloud Registration evaluation (TPU)"
@@ -63,17 +89,7 @@ def main(argv=None):
 
     cfg = apply_overrides(get_config(args.dataset), args.overrides)
     if args.ckpt.endswith((".t7", ".pth")):
-        # reference checkpoints were trained with kNN neighborhoods and carry
-        # per-layer kernel dispositions; evaluate them with the banded_knn
-        # fast path (reference kNN semantics on the banded machinery, honors
-        # per-layer kernel_points — tests/test_banded_knn.py proves it equal
-        # to the gather parity path at full band coverage).  An explicit
-        # `kpconv_impl=gather` override selects the exact-gather path for
-        # spot parity checks (~10x slower: full kNN maps + row gathers).
-        if not any(o.startswith("kpconv_impl=") for o in args.overrides):
-            cfg = cfg.replace(kpconv_impl="banded_knn")
-        if not any(o.startswith("kpconv_shared_influence=") for o in args.overrides):
-            cfg = cfg.replace(kpconv_shared_influence=False)
+        cfg = reference_ckpt_config(cfg, args.overrides)
     logger = setup_logger()
 
     from cofii2p_tpu.train import build_dataset

@@ -658,15 +658,26 @@ class KPConvFPN(nn.Module):
 
         def dyn_w(support_lvl: int, is_self: bool) -> int:
             # dynamic starts are radius-banded only (knn membership is
-            # tau-based and the parity path keeps the static plan)
+            # tau-based and the parity path keeps the static plan).
             plan = self.dynamic_plan
             if is_self and self.dynamic_plan_self is not None:
                 plan = self.dynamic_plan_self
             if plan is None or self.impl != "banded":
                 return 0
-            if support_lvl < len(plan):
-                return int(plan[support_lvl] or 0)
-            return 0
+            w = int(plan[support_lvl] or 0) if support_lvl < len(plan) else 0
+            # Mutually exclusive with the compacted formulations: the compact
+            # branches take no `starts`, and kw() would silently reinterpret
+            # the dynamic window width W as the half-band margin
+            # (band = span + 2W) — a quiet geometry/accuracy change.  Fail
+            # loudly like the dynamic backwards do (ADVICE r3 #1).
+            if w and (mp_compact(support_lvl) or agg_compact(support_lvl)):
+                raise NotImplementedError(
+                    "kpconv_dynamic_plan cannot be combined with "
+                    "maxpool_compact_plan/aggregate_compact_plan on the same "
+                    f"support level ({support_lvl}): the compacted branches "
+                    "ignore dynamic starts"
+                )
+            return w
 
         def kw(support_lvl: int, is_self: bool = True) -> dict:
             w = dyn_w(support_lvl, is_self)

@@ -191,12 +191,33 @@ def make_eval_step(cfg: Config, model: CoFiI2P, has_normals: bool = True):
         mask = terms["corr_mask"]
         ranks = jnp.argsort(dists, axis=1)  # for each pc kpt, img kpts sorted
         recalls = {}
+        valid = batch["kpt_valid"].astype(jnp.float32)  # (B, K)
         has_pos = jnp.sum(mask, axis=1) > 0  # (B, K) pc kpts with any GT match
         denom = jnp.maximum(jnp.sum(has_pos), 1)
         for k in (1, 2, 3, 4, 5):
             topk = ranks[:, :k, :]  # (B, k, K)
             hit = jnp.take_along_axis(mask, topk, axis=1).max(axis=1)  # (B, K)
             recalls[f"top{k}_recall"] = jnp.sum(hit * has_pos) / denom
+        # fine-level recall: fraction of keypoints whose argmax fine-patch
+        # cell (cosine similarity, as the reference computes it every
+        # val_freq steps — /root/reference/train.py:271-281) equals the GT
+        # relative_index.  The reference averages over all num_kpt; padded
+        # keypoints don't exist there, so here invalid kpts are masked out.
+        patch = out["fine_img_patch"]  # (B, K, 4, 4, C)
+        cells = patch.reshape(*patch.shape[:-3], 16, -1)
+        pcf = out["fine_pc_feature"]  # (B, K, C)
+        nrm = lambda x: x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8
+        )
+        cos = jnp.einsum(
+            "bkpc,bkc->bkp", nrm(cells), nrm(pcf),
+            preferred_element_type=jnp.float32,
+        )  # (B, K, 16)
+        pred = jnp.argmax(cos, axis=-1)
+        fine_hit = (pred == batch["relative_index"]).astype(jnp.float32)
+        recalls["fine_recall"] = jnp.sum(fine_hit * valid) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
         recalls["val_loss"] = terms["loss"]
         return recalls
 

@@ -18,3 +18,11 @@ import jax  # noqa: E402
 # of JAX_PLATFORMS in the environment; the config update below wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >60 s on the single-core CPU CI; `pytest -m 'not slow'` is "
+        "the quick gate (see CLAUDE.md)",
+    )

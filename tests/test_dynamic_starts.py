@@ -202,3 +202,83 @@ def test_model_dynamic_plan_matches_static():
             np.asarray(outs[0][k]), np.asarray(outs[1][k]),
             rtol=5e-4, atol=5e-4, err_msg=k,
         )
+
+
+def test_dynamic_plan_conflicts_with_compact_plans():
+    """A dynamic window and a compacted formulation on the same support
+    level must fail loudly: the compact branches take no `starts`, so the
+    combination would silently reinterpret the window width as the
+    half-band margin (ADVICE r3 #1)."""
+    import dataclasses
+
+    from cofii2p_tpu.config import get_config
+    from cofii2p_tpu.data.device_pipeline import prepare_samples
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.models import CoFiI2P
+
+    cfg = dataclasses.replace(
+        get_config("tiny"),
+        kpconv_impl="banded",
+        kpconv_kernel="xla",
+        kpconv_dynamic_plan=(0, 256, 256, 256, 256),
+        maxpool_compact_plan=(0, 0, 64, 0, 0),
+    )
+    ds = SyntheticDataset(cfg, "val", length=1)
+    item = ds[0]
+    host = {k: np.asarray(item[k])[None] for k in ("pc", "attrs", "P", "K", "img")}
+    batch = prepare_samples(
+        host["pc"], host["attrs"], host["P"], host["K"],
+        jax.random.PRNGKey(1), host["img"], cfg,
+    )
+    model = CoFiI2P(cfg)
+    with pytest.raises(NotImplementedError, match="compact"):
+        model.init(jax.random.PRNGKey(1), batch, mode="train", train=False)
+
+
+def test_centroid_windows_coverage_on_lidar_geometry():
+    """Production default center='centroid' has no per-row containment
+    guarantee (unlike 'span'); this pins its in-reach coverage on a
+    LiDAR-like 'xz'-Morton-ordered scene so a placement regression fails
+    in CI instead of only in offline TPU studies (ADVICE r3 #2)."""
+    rng = np.random.default_rng(7)
+    n = 2048
+    pts = np.concatenate(
+        [
+            rng.uniform(-40, 40, (n, 1)),
+            rng.uniform(-2, 2, (n, 1)),
+            rng.uniform(0, 80, (n, 1)),
+        ],
+        1,
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts), ordering="xz"))
+    pts = pts[order]
+    q = pts[: n // 2]  # strided level pair, same ordering
+    r_active = 4.0
+    width = 256
+    starts = np.asarray(
+        dynamic_band_starts(
+            jnp.asarray(q), jnp.asarray(pts), r_active, tile=128,
+            width=width, center="centroid",
+        )
+    )
+    d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    within = d2 <= r_active**2
+    j = np.arange(n)
+    kept = total = 0
+    static_kept = 0
+    m = len(q)
+    for t, st in enumerate(starts):
+        blk = within[t * 128 : (t + 1) * 128]
+        inwin = (j >= st) & (j < st + width)
+        kept += int((blk & inwin[None, :]).sum())
+        sst = np.clip(((2 * t * 128 + 128) * n) // (2 * m) - width // 2,
+                      0, n - width)
+        swin = (j >= sst) & (j < sst + width)
+        static_kept += int((blk & swin[None, :]).sum())
+        total += int(blk.sum())
+    cov = kept / max(total, 1)
+    static_cov = static_kept / max(total, 1)
+    # centroid placement must at least match proportional placement at equal
+    # width and keep the bulk of the influence mass
+    assert cov >= static_cov - 1e-9, (cov, static_cov)
+    assert cov >= 0.90, cov

@@ -58,3 +58,26 @@ def test_frame_residuals_respects_corr_mask():
          "corr_mask": mask}
     )
     assert res.shape == (2,)
+
+
+def test_reference_ckpt_auto_config():
+    """.t7/.pth evaluation auto-selects the reference-exact configuration
+    (kNN kernels, per-layer dispositions, SWAPPED fine decode — the one the
+    published RRE/RTE were measured with); explicit overrides win."""
+    from cofii2p_tpu.config import get_config
+    from cofii2p_tpu.evaluation.eval_all import reference_ckpt_config
+
+    cfg = reference_ckpt_config(get_config("kitti"), [])
+    assert cfg.kpconv_impl == "banded_knn"
+    assert cfg.kpconv_shared_influence is False
+    assert cfg.fine_decode == "reference"
+
+    from cofii2p_tpu.config import apply_overrides
+
+    overrides = ["fine_decode=label", "kpconv_impl=gather"]
+    cfg = reference_ckpt_config(
+        apply_overrides(get_config("kitti"), overrides), overrides
+    )
+    assert cfg.kpconv_impl == "gather"  # explicit override wins
+    assert cfg.fine_decode == "label"
+    assert cfg.kpconv_shared_influence is False

@@ -59,9 +59,10 @@ def test_eval_step_recalls(setup):
     cfg, model, tx, make_state, host = setup
     ev = train_lib.make_eval_step(cfg, model)
     out = jax.device_get(ev(make_state(), host, jax.random.PRNGKey(3)))
-    for k in ("top1_recall", "top5_recall", "val_loss"):
+    for k in ("top1_recall", "top5_recall", "fine_recall", "val_loss"):
         assert np.isfinite(out[k])
     assert 0.0 <= out["top1_recall"] <= out["top5_recall"] <= 1.0
+    assert 0.0 <= out["fine_recall"] <= 1.0
 
 
 def test_train_step_sharded_over_mesh(setup):
