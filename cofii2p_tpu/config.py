@@ -149,8 +149,11 @@ class Config:
     # 2304 of 2560 rows) while real spans are far narrower, and the
     # maxpool/aggregation kernels' select/influence work scales with the
     # scanned width.  Shared per (query level, support level) pair like
-    # tau.  EVAL/FORWARD-ONLY: the transposed backward's query-window plan
-    # is static, so training configs must keep this None.
+    # tau.  Differentiable since round 4 (forward-geometry backward stack
+    # kernels + window scatter-add), so training configs may enable it too.
+    # A window narrower than the tile's in-reach span DROPS the out-of-
+    # window neighbors (that is the speedup) — accuracy vs width is
+    # measured in tools/acc_study.py; see PERF.md round-4.
     kpconv_dynamic_plan: tuple | None = None
     # Same, for the SELF (query level == support level) pairs.  None falls
     # back to kpconv_dynamic_plan for both pair kinds; a separate plan exists
@@ -160,6 +163,12 @@ class Config:
     # MXU/BW-bound and near-free at deep levels, and at L1 the dynamic
     # window measured *slower* than its static band.
     kpconv_dynamic_plan_self: tuple | None = None
+    # Window placement estimator for dynamic starts: 'best' (default,
+    # round 4) = the width-W window holding maximum in-reach multiplicity
+    # mass (cumsum sliding window — optimal for kept pairs at the width);
+    # 'centroid' / 'span' = the round-3 estimators (see
+    # ops/banded.dynamic_band_starts).
+    kpconv_dynamic_center: str = "best"
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

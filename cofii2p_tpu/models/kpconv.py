@@ -602,12 +602,15 @@ class KPConvFPN(nn.Module):
     # per-support-level dynamic window widths (config.kpconv_dynamic_plan):
     # 0/None = static band plan; W > 0 = per-tile device-measured starts
     # with a W-wide window (ops/banded.dynamic_band_starts; radius-banded
-    # impl only, eval/forward-only).  ``dynamic_plan`` applies to the CROSS
+    # impl only, differentiable).  ``dynamic_plan`` applies to the CROSS
     # (strided, query level != support level) pairs; ``dynamic_plan_self``
     # to the self pairs, falling back to ``dynamic_plan`` when None (see
     # config.kpconv_dynamic_plan_self for the measured rationale)
     dynamic_plan: Any = None
     dynamic_plan_self: Any = None
+    # window placement estimator for dynamic starts (ops/banded.py::
+    # dynamic_band_starts): 'best' = max-kept-mass sliding window
+    dynamic_center: str = "best"
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -700,7 +703,9 @@ class KPConvFPN(nn.Module):
                 r * radius_scale, s * radius_scale, ks
             )
             return jax.vmap(
-                lambda q, sp: dynamic_band_starts(q, sp, r_act, self.tile, w)
+                lambda q, sp: dynamic_band_starts(
+                    q, sp, r_act, self.tile, w, self.dynamic_center
+                )
             )(q_pts, s_pts)
 
         def kw_res(support_lvl: int, is_self: bool = True) -> dict:

@@ -122,6 +122,7 @@ class CoFiI2P(nn.Module):
             aggregate_compact_plan=cfg.aggregate_compact_plan,
             dynamic_plan=cfg.kpconv_dynamic_plan,
             dynamic_plan_self=cfg.kpconv_dynamic_plan_self,
+            dynamic_center=cfg.kpconv_dynamic_center,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

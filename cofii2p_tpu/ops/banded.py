@@ -114,6 +114,11 @@ def dynamic_band_starts(
     narrower static ``width`` window is centered on them.
 
     ``center`` picks the estimator:
+      - ``"best"`` (round 4): the width-W window holding the MAXIMUM
+        in-reach multiplicity mass — a cumulative-sum sliding window over
+        the per-row in-reach counts, exactly optimal for the kept-pairs
+        metric at the given width.  Costs one cumsum + argmax over N on
+        top of the d2 block every estimator already pays.
       - ``"centroid"`` (default): the multiplicity-weighted mean in-reach
         index.  In-reach rows have long asymmetric Morton tails (span p95
         is several x the dense width, tools/dyn_band_study), so this
@@ -141,7 +146,13 @@ def dynamic_band_starts(
         d2 = _membership_d2(q, s_points)  # (tile, N)
         within = jnp.any(d2 <= r2, axis=0)  # (N,)
         has = jnp.any(within)
-        if center == "centroid":
+        if center == "best":
+            wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (N,)
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                  jnp.cumsum(wcnt)])
+            win = cs[width:] - cs[: n - width + 1]  # mass of window at j
+            dyn = jnp.argmax(win).astype(jnp.int32)
+        elif center == "centroid":
             wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (N,)
             j = jnp.arange(n, dtype=jnp.float32)
             mid = jnp.sum(j * wcnt) / jnp.maximum(jnp.sum(wcnt), 1.0)

@@ -176,8 +176,10 @@ def banded_kpconv_aggregate_pallas(
     ``starts``: optional (B, num_tiles) int32 per-tile window starts from
     dynamic_band_starts — ``band_width`` is then the full window width (the
     kernels never consume absolute indices in the forward: membership comes
-    from coordinates, so only the stack slicing changes).  Forward-only for
-    now (the transposed backward's query-window plan is static).
+    from coordinates, so only the stack slicing changes).  Differentiable
+    since round 4: the backward takes the forward-geometry stack kernel +
+    window scatter-add (_transpose_agg_dyn) instead of the static
+    transposed plan.
     """
     return _forward(
         s_feats, q_points, s_points, radius, sigma, kernel_size, tile,
@@ -329,6 +331,130 @@ def _agg_bwd_kernel(qsb_ref, kp_ref, q_ref, bs_ref, g_ref, pT_ref, out_ref, *, s
         out_ref[0, :, :] += acc
 
 
+def _agg_bwd_dyn_kernel(kp_ref, q_ref, pT_ref, g_ref, out_ref, *, sigma, r2, cdtype):
+    """One (batch, query-tile, band-chunk) cell of the FORWARD-GEOMETRY
+    aggregation backward (dynamic windows): out[j, c] = sum_{m, k}
+    infl[m, j, k] * g[m, k*C + c] for this tile's window chunk.
+
+    The transposed backward (`_agg_bwd_kernel`) sweeps support tiles with a
+    STATIC per-support-tile query-window plan — impossible under per-tile
+    data-dependent window starts.  Here the grid mirrors the forward
+    (windows are per-query-tile by construction), each (tt, bc) cell owns a
+    disjoint (bch, C) block of the per-tile gradient STACK, and XLA
+    scatter-adds the overlapping windows back to (N, C) afterwards
+    (`_scatter_band_stacks`).
+
+    kp_ref:  (K, 3)          kernel points
+    q_ref:   (1, tile, 3)    query coordinates
+    pT_ref:  (1, 1, 3, bch)  this window chunk's coordinates, transposed
+    g_ref:   (1, tile, K*C)  cotangent of `weighted` for this tile
+    out_ref: (1, 1, bch, C)  this chunk's stack gradient (written once)
+    """
+    kpj = kp_ref[...]  # (K, 3)
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref  # (tile, 3)
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)  # (3, bch)
+    k_num = kpj.shape[0]
+    c = out_ref.shape[-1]
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (tile, bch)
+    wif = (d2 <= r2).astype(jnp.float32)
+
+    # disjoint blocks are written exactly once: zero unconditionally, then
+    # the guarded heavy pass overwrites occupied chunks
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.sum(wif) > 0.0)
+    def _route():
+        row = -2.0 * jnp.dot(
+            kpj, pT, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, bch)
+        col = 2.0 * jnp.dot(
+            q, kpj.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (tile, K)
+        kp2 = jnp.sum(kpj * kpj, axis=-1)
+
+        inv_sigma = 1.0 / sigma
+        acc = jnp.zeros((pT.shape[-1], c), jnp.float32)
+        for k in range(k_num):
+            s2k = d2 + row[k : k + 1, :] + (col[:, k : k + 1] + kp2[k])
+            dist = jnp.sqrt(jnp.maximum(s2k, 0.0))
+            infl = jnp.maximum(1.0 - dist * inv_sigma, 0.0)
+            infl = (infl * wif).astype(cdtype)  # (tile, bch)
+            gk = g_ref[0, :, k * c : (k + 1) * c].astype(cdtype)  # (tile, C)
+            acc = acc + jax.lax.dot_general(
+                infl, gk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # contract over queries -> (bch, C)
+        out_ref[0, 0, :, :] = acc
+
+
+def _scatter_band_stacks(g_stack, starts, n):
+    """(B, nt, band, C) per-tile window gradients + (B, nt) starts ->
+    (B, N, C) fp32: scatter-add each tile's window at its start (windows
+    overlap, so the adds are sequential dynamic-slice updates — nt steps,
+    each touching band*C)."""
+    b, nt, band, c = g_stack.shape
+
+    def one(gs, st):
+        def body(t, acc):
+            cur = jax.lax.dynamic_slice(acc, (st[t], 0), (band, c))
+            return jax.lax.dynamic_update_slice(acc, cur + gs[t], (st[t], 0))
+
+        return jax.lax.fori_loop(
+            0, nt, body, jnp.zeros((n, c), jnp.float32)
+        )
+
+    return jax.vmap(one)(g_stack, starts)
+
+
+def _transpose_agg_dyn(g_weighted, q_points, s_points, starts, n, c, radius,
+                       sigma, kernel_size, tile, band_width, dtype):
+    """Dynamic-window twin of _transpose_agg: forward-geometry Pallas
+    gradient stack + XLA window scatter-add."""
+    b, m = q_points.shape[:2]
+    kp = _load_kernel_points(radius, kernel_size).astype(np.float32)
+    k_num = kp.shape[0]
+    r2 = kernel_reach(radius, sigma, kernel_size) ** 2
+    tile = min(tile, m)
+    while m % tile:
+        tile //= 2
+    num_tiles = m // tile
+    band = min(band_width, n)
+    band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+        s_points, starts
+    )
+    band_pT = jnp.swapaxes(band_p, -1, -2)  # (B, nt, 3, band)
+    g2 = g_weighted.reshape(b, m, k_num * c)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
+    bch = _AGG_BCH if chunked else band
+    kernel = functools.partial(
+        _agg_bwd_dyn_kernel, sigma=float(sigma), r2=float(r2),
+        cdtype=jnp.dtype(dtype),
+    )
+    g_stack = pl.pallas_call(
+        kernel,
+        grid=(b, num_tiles, band // bch),
+        in_specs=[
+            pl.BlockSpec((k_num, 3), lambda bb, tt, bc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k_num * c), lambda bb, tt, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bch, c), lambda bb, tt, bc: (bb, tt, bc, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_tiles, band, c), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(kp), q_points, band_pT, g2)
+    return _scatter_band_stacks(g_stack, starts, n)
+
+
 def _bwd_geometry(m: int, n: int, tile_q: int, band: int, starts: np.ndarray):
     """Static plan for the transposed pass: support tile size, per-support-
     tile query-window block starts (uniform width Q, multiple of tile_q)."""
@@ -398,20 +524,23 @@ def _transpose_agg(g_weighted, q_points, s_points, n, c, radius, sigma,
 
 def _bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
     """Pallas backward: only s_feats receives gradient (pyramid
-    coordinates are pipeline data, never parameters)."""
+    coordinates are pipeline data, never parameters).  Static plans take
+    the transposed kernel; dynamic window starts take the forward-geometry
+    stack kernel + window scatter-add (round 4 — training can now run the
+    narrow dynamic windows)."""
     s_feats, q_points, s_points, starts = res
-    if starts is not None:
-        raise NotImplementedError(
-            "dynamic band starts are eval/forward-only: the transposed "
-            "backward's query-window plan is static (kpconv_dynamic_plan "
-            "must stay off for training configs)"
-        )
     g_weighted, _ = g
     n, c = s_feats.shape[-2:]
-    g_feats = _transpose_agg(
-        g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
-        tile, band_width, dtype,
-    )
+    if starts is not None:
+        g_feats = _transpose_agg_dyn(
+            g_weighted, q_points, s_points, starts, n, c, radius, sigma,
+            kernel_size, tile, band_width, dtype,
+        )
+    else:
+        g_feats = _transpose_agg(
+            g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
+            tile, band_width, dtype,
+        )
     return g_feats.astype(s_feats.dtype), None, None, None
 
 
@@ -797,7 +926,7 @@ def banded_kpconv_fused_pallas(
     bias outside — and count (B, M) int32).  When differentiated, the
     unfused forward runs instead so `weighted` is available as a residual
     for dW (training keeps today's cost; eval takes the fused kernel).
-    ``starts``: see banded_kpconv_aggregate_pallas (forward-only).
+    ``starts``: see banded_kpconv_aggregate_pallas (differentiable).
     """
     return _fused_forward(
         s_feats, q_points, s_points, weights, radius, sigma, kernel_size,
@@ -868,27 +997,22 @@ def _fused_forward(s_feats, q_points, s_points, weights, radius, sigma,
 
 def _fused_fwd(s_feats, q_points, s_points, weights, radius, sigma,
                kernel_size, tile, band_width, dtype, starts=None):
-    if starts is not None:
-        raise NotImplementedError(
-            "dynamic band starts are eval/forward-only (see "
-            "banded_kpconv_aggregate_pallas)"
-        )
     # differentiation path: unfused aggregation + XLA einsum, so `weighted`
     # is a residual for dW (mirrors the unfused training path exactly)
     weighted, count = _forward(
         s_feats, q_points, s_points, radius, sigma, kernel_size, tile,
-        band_width, dtype,
+        band_width, dtype, starts,
     )
     cdt = jnp.dtype(dtype)
     out = jnp.einsum(
         "bmkc,kcd->bmd", weighted.astype(cdt), weights.astype(cdt),
         preferred_element_type=jnp.float32,
     )
-    return (out, count), (s_feats, q_points, s_points, weights, weighted)
+    return (out, count), (s_feats, q_points, s_points, weights, weighted, starts)
 
 
 def _fused_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
-    s_feats, q_points, s_points, weights, weighted = res
+    s_feats, q_points, s_points, weights, weighted, starts = res
     g_out, _ = g  # (B, M, D); count carries no gradient
     n, c = s_feats.shape[-2:]
     cdt = jnp.dtype(dtype)
@@ -897,10 +1021,16 @@ def _fused_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
         "bmd,kcd->bmkc", g_out.astype(cdt), weights.astype(cdt),
         preferred_element_type=jnp.float32,
     )
-    g_feats = _transpose_agg(
-        g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
-        tile, band_width, dtype,
-    )
+    if starts is not None:
+        g_feats = _transpose_agg_dyn(
+            g_weighted, q_points, s_points, starts, n, c, radius, sigma,
+            kernel_size, tile, band_width, dtype,
+        )
+    else:
+        g_feats = _transpose_agg(
+            g_weighted, q_points, s_points, n, c, radius, sigma, kernel_size,
+            tile, band_width, dtype,
+        )
     g_w = jnp.einsum(
         "bmkc,bmd->kcd", weighted.astype(cdt), g_out.astype(cdt),
         preferred_element_type=jnp.float32,

@@ -164,7 +164,8 @@ def banded_maxpool_pallas(
 
     ``starts``: optional (B, num_tiles) int32 dynamic window starts
     (ops.banded.dynamic_band_starts); band_width is then the full window
-    width.  Forward-only (see banded_kpconv_aggregate_pallas).
+    width.  Differentiable (round 4): the backward takes a forward-geometry
+    stack kernel + window scatter-add instead of the static transposed plan.
     """
     return _forward(
         s_feats, q_points, s_points, r_active, tile, band_width, starts
@@ -272,20 +273,36 @@ def _count_kernel(q_ref, pT_ref, f_ref, thr_ref, o_ref, cnt_ref):
         )
 
 
-def _match_count(s_feats, q_points, s_points, thr, out, tile, band_width):
+def _match_count(s_feats, q_points, s_points, thr, out, tile, band_width,
+                 starts=None):
     """Per-(query, channel) count of band members tied at the forward max.
 
     thr: (B, M) squared-distance membership thresholds (full r2 for the
     radius variant, tau for the kNN variant).  Returns (B, M, C) fp32,
-    >= 1 wherever the neighborhood is non-empty.
+    >= 1 wherever the neighborhood is non-empty.  ``starts``: optional
+    (B, num_tiles) dynamic window starts (forward geometry must match the
+    forward pass exactly, so the dyn slicing mirrors _forward).
     """
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
     thr3 = thr.reshape(b, m, 1).astype(jnp.float32)
 
     cc = 128 if c % 128 == 0 else c
@@ -374,24 +391,101 @@ def _maxpool_bwd_kernel(
         )
 
 
-def _bwd(r_active, tile, band_width, tie_even, res, g):
-    """Transposed Pallas backward: only s_feats receives gradient (the
-    pyramid coordinates are pipeline data, never parameters)."""
-    s_feats, q_points, s_points, out, starts = res
-    if starts is not None:
-        raise NotImplementedError(
-            "dynamic band starts are eval/forward-only (see "
-            "banded_kpconv_aggregate_pallas)"
+def _mp_bwd_dyn_kernel(q_ref, pT_ref, f_ref, g_ref, o_ref, out_ref, *, r2):
+    """One (batch, query-tile, channel-chunk, band-chunk) cell of the
+    FORWARD-GEOMETRY maxpool backward (dynamic windows): the per-tile
+    gradient STACK chunk out[j, c] = sum_m wi[m, j] * (f[j, c] == o[m, c])
+    * g[m, c] — disjoint blocks per (tt, cj, bc), scatter-added back to
+    (N, C) by _scatter_band_stacks (see _agg_bwd_dyn_kernel for why the
+    static transposed plan cannot serve data-dependent window starts)."""
+    ref = q_ref[0, 0:1, :]
+    q = q_ref[0] - ref
+    pT = pT_ref[0, 0] - ref.reshape(3, 1)
+    f = f_ref[0, 0].astype(jnp.float32)  # (bch, cc)
+    o = o_ref[0].astype(jnp.float32)  # (tile, cc)
+    g = g_ref[0].astype(jnp.float32)  # (tile, cc)
+
+    d2 = None
+    for d in range(3):
+        diff = q[:, d : d + 1] - pT[d : d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff  # (tile, bch)
+    wi = (d2 <= r2).astype(jnp.float32)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.sum(wi) > 0.0)
+    def _route():
+        shift = (1.0 - wi[:, :, None]) * 1e30
+        eq = f[None, :, :] == (o[:, None, :] + shift)  # (tile, bch, cc)
+        out_ref[0, 0, :, :] = jnp.sum(
+            jnp.where(eq, g[:, None, :], 0.0), axis=0
         )
+
+
+def _bwd_dyn(s_feats, q_points, s_points, out, starts, g, r2, tile, band_width):
+    """Dynamic-window maxpool backward: forward-geometry gradient stack +
+    window scatter-add."""
+    from cofii2p_tpu.ops.kpconv_kernel import _scatter_band_stacks
+
+    b, m = q_points.shape[:2]
+    n, c = s_feats.shape[-2:]
+    tile = min(tile, m)
+    while m % tile:
+        tile //= 2
+    num_tiles = m // tile
+    band = min(band_width, n)
+    band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+        s_points, starts
+    )
+    band_pT = jnp.swapaxes(band_p, -1, -2)
+    band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+        s_feats, starts
+    )
+
+    cc = 128 if c % 128 == 0 else c
+    interpret = jax.devices()[0].platform != "tpu"
+    bch = band if interpret else _row_chunk(band)
+    if _FORCE_CHUNKS is not None:
+        fc, fb = _FORCE_CHUNKS
+        cc, bch = fc or cc, fb or bch
+        assert c % cc == 0 and band % bch == 0, (c, cc, band, bch)
+    g_stack = pl.pallas_call(
+        functools.partial(_mp_bwd_dyn_kernel, r2=r2),
+        grid=(b, num_tiles, c // cc, band // bch),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bb, tt, cj, bc: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bch), lambda bb, tt, cj, bc: (bb, tt, 0, bc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bch, cc), lambda bb, tt, cj, bc: (bb, tt, bc, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, cc), lambda bb, tt, cj, bc: (bb, tt, cj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bch, cc), lambda bb, tt, cj, bc: (bb, tt, bc, cj), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_tiles, band, c), jnp.float32),
+        interpret=interpret,
+    )(q_points, band_pT, band_f, g.astype(jnp.float32), out.astype(jnp.float32))
+    return _scatter_band_stacks(g_stack, starts, n)
+
+
+def _bwd(r_active, tile, band_width, tie_even, res, g):
+    """Pallas backward: only s_feats receives gradient (the pyramid
+    coordinates are pipeline data, never parameters).  Static plans take
+    the transposed kernel; dynamic window starts take the forward-geometry
+    stack kernel + scatter-add (round 4)."""
+    s_feats, q_points, s_points, out, starts = res
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     r2 = float(r_active) ** 2
     if tie_even:
         thr = jnp.full((b, m), r2, jnp.float32)
         cnt = _match_count(
-            s_feats, q_points, s_points, thr, out, tile, band_width
+            s_feats, q_points, s_points, thr, out, tile, band_width, starts
         )
         g = g / jnp.maximum(cnt, 1.0)
+    if starts is not None:
+        g_dyn = _bwd_dyn(
+            s_feats, q_points, s_points, out, starts, g, r2, tile, band_width
+        )
+        return g_dyn.astype(s_feats.dtype), None, None, None
     tile_q, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
     starts = _band_starts_np(m, n, tile_q, band, num_tiles)
     stile, ns, q_win, qstart_blk = _bwd_geometry(m, n, tile_q, band, starts)

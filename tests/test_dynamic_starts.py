@@ -139,24 +139,87 @@ def test_pallas_forwards_match_xla_with_shared_starts():
     )
 
 
-def test_dynamic_backward_raises():
-    """Dynamic starts are eval/forward-only; differentiating through them
-    must fail loudly, not silently drop gradient."""
+@pytest.mark.parametrize("tie_even", [True, False])
+def test_dynamic_maxpool_backward_matches_xla(tie_even):
+    """The round-4 dynamic-window maxpool backward (forward-geometry stack
+    kernel + window scatter-add) equals XLA autodiff through the windowed
+    XLA twin — including even tie splitting on duplicated padded points."""
     rng = np.random.default_rng(3)
-    n, c = 256, 8
-    pts = jnp.asarray(_cloud(n, rng))[None]
-    f = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
+    n, c, b = 256, 8, 2
+    width = 128
+    base = np.stack([_cloud(n - 64, rng) for _ in range(b)])
+    pts_np = np.concatenate([base, base[:, :64]], axis=1)  # duplicated rows
+    feats_np = rng.normal(size=(b, n - 64, c)).astype(np.float32)
+    feats_np = np.concatenate([feats_np, feats_np[:, :64]], axis=1)
+    pts = jnp.asarray(pts_np)
+    f = jnp.asarray(feats_np)
     starts = jax.vmap(
-        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=128)
+        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=width)
     )(pts)
-    with pytest.raises(NotImplementedError):
-        jax.grad(
-            lambda ff: jnp.sum(
-                banded_maxpool_pallas(
-                    ff, pts, pts, R_ACTIVE, 128, 128, True, starts
-                )
+
+    def loss_pl(ff):
+        out = banded_maxpool_pallas(
+            ff, pts, pts, R_ACTIVE, 128, width, tie_even, starts
+        )
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_x(ff):
+        out = jax.vmap(
+            lambda fff, p, st: banded_maxpool(
+                fff, p, p, R_ACTIVE, 128, width, starts=st
             )
-        )(f)
+        )(ff, pts, starts)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_pl = jax.grad(loss_pl)(f)
+    g_x = jax.grad(loss_x)(f)
+    if tie_even:
+        # XLA autodiff splits exact ties evenly; tie_even reproduces it
+        np.testing.assert_allclose(
+            np.asarray(g_pl), np.asarray(g_x), rtol=1e-5, atol=1e-5
+        )
+    else:
+        # full routing differs on the duplicated rows but total mass matches
+        np.testing.assert_allclose(
+            float(jnp.sum(g_pl)), float(jnp.sum(g_x)), rtol=1e-4
+        )
+
+
+def test_dynamic_aggregate_backward_matches_xla():
+    """The round-4 dynamic-window aggregation backward (forward-geometry
+    stack kernel + window scatter-add) equals XLA autodiff through the
+    windowed XLA twin."""
+    rng = np.random.default_rng(4)
+    n, c, b = 256, 8, 2
+    width = 128
+    pts = jnp.asarray(np.stack([_cloud(n, rng) for _ in range(b)]))
+    f = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    starts = jax.vmap(
+        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=width)
+    )(pts)
+    probe = jnp.asarray(
+        rng.normal(size=(b, n, KS, c)).astype(np.float32)
+    )
+
+    def loss_pl(ff):
+        w, _ = banded_kpconv_aggregate_pallas(
+            ff, pts, pts, RADIUS, SIGMA, KS, 128, width, jnp.float32, starts
+        )
+        return jnp.sum(w * probe)
+
+    def loss_x(ff):
+        w, _ = jax.vmap(
+            lambda fff, p, st: banded_kpconv_aggregate(
+                fff, p, p, RADIUS, SIGMA, KS, 128, width, starts=st
+            )
+        )(ff, pts, starts)
+        return jnp.sum(w * probe)
+
+    g_pl = jax.grad(loss_pl)(f)
+    g_x = jax.grad(loss_x)(f)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_x), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_model_dynamic_plan_matches_static():
@@ -235,11 +298,13 @@ def test_dynamic_plan_conflicts_with_compact_plans():
         model.init(jax.random.PRNGKey(1), batch, mode="train", train=False)
 
 
-def test_centroid_windows_coverage_on_lidar_geometry():
-    """Production default center='centroid' has no per-row containment
-    guarantee (unlike 'span'); this pins its in-reach coverage on a
+@pytest.mark.parametrize("center", ["centroid", "best"])
+def test_dynamic_windows_coverage_on_lidar_geometry(center):
+    """Neither 'centroid' nor 'best' placement has a per-row containment
+    guarantee (unlike 'span'); this pins their in-reach coverage on a
     LiDAR-like 'xz'-Morton-ordered scene so a placement regression fails
-    in CI instead of only in offline TPU studies (ADVICE r3 #2)."""
+    in CI instead of only in offline TPU studies (ADVICE r3 #2).  'best'
+    is the max-kept-mass window, so it must also dominate 'centroid'."""
     rng = np.random.default_rng(7)
     n = 2048
     pts = np.concatenate(
@@ -255,30 +320,78 @@ def test_centroid_windows_coverage_on_lidar_geometry():
     q = pts[: n // 2]  # strided level pair, same ordering
     r_active = 4.0
     width = 256
-    starts = np.asarray(
-        dynamic_band_starts(
-            jnp.asarray(q), jnp.asarray(pts), r_active, tile=128,
-            width=width, center="centroid",
-        )
-    )
     d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
     within = d2 <= r_active**2
     j = np.arange(n)
-    kept = total = 0
-    static_kept = 0
     m = len(q)
-    for t, st in enumerate(starts):
-        blk = within[t * 128 : (t + 1) * 128]
-        inwin = (j >= st) & (j < st + width)
-        kept += int((blk & inwin[None, :]).sum())
-        sst = np.clip(((2 * t * 128 + 128) * n) // (2 * m) - width // 2,
-                      0, n - width)
-        swin = (j >= sst) & (j < sst + width)
-        static_kept += int((blk & swin[None, :]).sum())
-        total += int(blk.sum())
-    cov = kept / max(total, 1)
-    static_cov = static_kept / max(total, 1)
-    # centroid placement must at least match proportional placement at equal
-    # width and keep the bulk of the influence mass
+
+    def coverage(center):
+        starts = np.asarray(
+            dynamic_band_starts(
+                jnp.asarray(q), jnp.asarray(pts), r_active, tile=128,
+                width=width, center=center,
+            )
+        )
+        kept = total = static_kept = 0
+        for t, st in enumerate(starts):
+            blk = within[t * 128 : (t + 1) * 128]
+            inwin = (j >= st) & (j < st + width)
+            kept += int((blk & inwin[None, :]).sum())
+            sst = np.clip(((2 * t * 128 + 128) * n) // (2 * m) - width // 2,
+                          0, n - width)
+            swin = (j >= sst) & (j < sst + width)
+            static_kept += int((blk & swin[None, :]).sum())
+            total += int(blk.sum())
+        return kept / max(total, 1), static_kept / max(total, 1)
+
+    cov, static_cov = coverage(center)
+    # placement must at least match proportional placement at equal width
+    # and keep the bulk of the influence mass
     assert cov >= static_cov - 1e-9, (cov, static_cov)
     assert cov >= 0.90, cov
+    if center == "best":
+        # 'best' is optimal for this metric per tile, so it dominates
+        assert cov >= coverage("centroid")[0] - 1e-9
+
+
+def test_dynamic_fused_backward_matches_xla():
+    """The fused (aggregation + weight contraction) kernel's dynamic-window
+    VJP: d/d(feats) and d/d(weights) equal XLA autodiff through the
+    windowed XLA twin + einsum."""
+    rng = np.random.default_rng(5)
+    n, c, d_out, b = 256, 8, 4, 2
+    width = 128
+    pts = jnp.asarray(np.stack([_cloud(n, rng) for _ in range(b)]))
+    f = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(KS, c, d_out)).astype(np.float32))
+    starts = jax.vmap(
+        lambda p: dynamic_band_starts(p, p, R_ACTIVE, tile=128, width=width)
+    )(pts)
+    probe = jnp.asarray(rng.normal(size=(b, n, d_out)).astype(np.float32))
+
+    from cofii2p_tpu.ops.kpconv_kernel import banded_kpconv_fused_pallas
+
+    def loss_pl(ff, ww):
+        out, _ = banded_kpconv_fused_pallas(
+            ff, pts, pts, ww, RADIUS, SIGMA, KS, 128, width, jnp.float32,
+            starts,
+        )
+        return jnp.sum(out * probe)
+
+    def loss_x(ff, ww):
+        wt, _ = jax.vmap(
+            lambda fff, p, st: banded_kpconv_aggregate(
+                fff, p, p, RADIUS, SIGMA, KS, 128, width, starts=st
+            )
+        )(ff, pts, starts)
+        out = jnp.einsum("bmkc,kcd->bmd", wt, ww)
+        return jnp.sum(out * probe)
+
+    gf_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(f, w)
+    gf_x, gw_x = jax.grad(loss_x, argnums=(0, 1))(f, w)
+    np.testing.assert_allclose(
+        np.asarray(gf_pl), np.asarray(gf_x), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_pl), np.asarray(gw_x), rtol=2e-4, atol=2e-4
+    )
