@@ -225,7 +225,10 @@ class KPConv(nn.Module):
                     fused_contraction_fits,
                 )
 
-                if fused_contraction_fits(k, cin, self.out_channels, self.tile):
+                if fused_contraction_fits(
+                    k, cin, self.out_channels, self.tile,
+                    wbytes=jnp.dtype(self.dtype).itemsize,
+                ):
                     out, count = banded_kpconv_fused_tau_pallas(
                         s_feats, q_points, s_points, weights, tau,
                         kernel_points, self.radius, self.sigma, k, self.tile,
@@ -285,7 +288,10 @@ class KPConv(nn.Module):
                     fused_contraction_fits,
                 )
 
-                if fused_contraction_fits(k, cin, self.out_channels, self.tile):
+                if fused_contraction_fits(
+                    k, cin, self.out_channels, self.tile,
+                    wbytes=jnp.dtype(self.dtype).itemsize,
+                ):
                     # fused kernel: the (B, M, K, C) weighted tensor never
                     # reaches HBM in eval; when differentiated the VJP falls
                     # back to the unfused structure (weighted as residual)

@@ -897,12 +897,19 @@ def _agg_fused_kernel(kp_ref, q_ref, pT_ref, f_ref, w_ref, out_ref, cnt_ref,
         )
 
 
-def fused_contraction_fits(kernel_size: int, cin: int, cout: int, tile: int = 128) -> bool:
+def fused_contraction_fits(kernel_size: int, cin: int, cout: int,
+                           tile: int = 128, wbytes: int = 4) -> bool:
     """Whether the fused kernel's W block + scratch fit the VMEM budget
-    (deep C=512 convs fall back to the unfused kernel + XLA einsum)."""
+    (convs over it fall back to the unfused kernel + XLA einsum).
+
+    ``wbytes``: bytes/element of the weight BLOCK as shipped to the kernel
+    (the caller casts W to the compute dtype before the call, so bf16
+    compute halves the block).  The budget is kept conservative against
+    the ~16 MB scoped-vmem limit: the scratch (tile, K*Cin) accumulator is
+    always fp32 and the f/out blocks add a few hundred KB on top."""
     return (
-        kernel_size * cin * cout * 4 + tile * kernel_size * cin * 4
-        <= 6 * 2**20
+        kernel_size * cin * cout * wbytes + tile * kernel_size * cin * 4
+        <= (12 if wbytes == 2 else 6) * 2**20
     )
 
 
@@ -960,7 +967,11 @@ def _fused_forward(s_feats, q_points, s_points, weights, radius, sigma,
             s_feats, starts
         )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    w2 = weights.reshape(k_num * c, d_out)
+    # ship W in the compute dtype: halves the VMEM weight block under bf16
+    # (what lets the C=512 convs take the fused kernel, see
+    # fused_contraction_fits) and is value-identical to the in-kernel cast
+    # the contract step applied anyway
+    w2 = weights.reshape(k_num * c, d_out).astype(jnp.dtype(dtype))
 
     interpret = jax.devices()[0].platform != "tpu"
     chunked = band >= 1024 and band % _AGG_BCH == 0 and not interpret
@@ -1148,7 +1159,7 @@ def _fused_tau_forward(s_feats, q_points, s_points, weights, tau, kp, radius,
     band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
     band_pT = jnp.swapaxes(band_p, -1, -2)
     band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
-    w2 = weights.reshape(k_num * c, d_out)
+    w2 = weights.reshape(k_num * c, d_out).astype(jnp.dtype(dtype))
     tau3 = tau.reshape(b, m, 1)
 
     interpret = jax.devices()[0].platform != "tpu"

@@ -424,6 +424,7 @@ class TestBandedNetwork:
         assert "neighbors" not in pyr and "subsampling" not in pyr
         assert len(pyr["points"]) == cfg.num_stages
 
+    @pytest.mark.slow
     def test_forward_and_train_step(self, cfg):
         from cofii2p_tpu.data.loader import _collate
         from cofii2p_tpu.data.synthetic import SyntheticDataset

@@ -164,6 +164,7 @@ def fpn_setup():
     return cfg, pyr, feats, h
 
 
+@pytest.mark.slow
 def test_fpn_banded_knn_equals_gather(fpn_setup):
     cfg, pyr, feats, h = fpn_setup
     kw = dict(
@@ -210,6 +211,7 @@ def test_fpn_maxpool_compact_plan_wiring(fpn_setup):
         )
 
 
+@pytest.mark.slow
 def test_fpn_maxpool_compact_gradient(fpn_setup):
     # training must differentiate through the compacted shortcut (top_k
     # indices are non-diff; the cotangent routes through gather+max)

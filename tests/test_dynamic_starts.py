@@ -222,6 +222,7 @@ def test_dynamic_aggregate_backward_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_model_dynamic_plan_matches_static():
     """config.kpconv_dynamic_plan plumbed through the assembled network
     (CoFiI2P -> KPConvFPN -> blocks): with windows that cover the whole

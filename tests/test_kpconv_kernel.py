@@ -1,6 +1,7 @@
 """Pallas banded-KPConv kernel vs the XLA banded path (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -101,6 +102,7 @@ def test_gradient_matches_xla_path_strided_multitile():
     )
 
 
+@pytest.mark.slow
 def test_network_forward_with_pallas_kernel():
     from cofii2p_tpu.config import TinyConfig
     from cofii2p_tpu.data.loader import _collate
@@ -323,3 +325,49 @@ def test_fused_tau_gradients_match_unfused():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
 
+
+
+def test_fused_fits_gate_by_weight_dtype():
+    """bf16 compute halves the fused kernel's weight block, admitting the
+    C=512 convs that fp32 excludes (round 4); the fp32 gate is unchanged."""
+    from cofii2p_tpu.ops.kpconv_kernel import fused_contraction_fits
+
+    # fp32 gate: the historical set
+    assert fused_contraction_fits(15, 256, 256, wbytes=4)
+    assert not fused_contraction_fits(15, 512, 256, wbytes=4)
+    # bf16 gate: C=512 in/out-256 now fits; K*512*1024 still does not
+    assert fused_contraction_fits(15, 512, 256, wbytes=2)
+    assert fused_contraction_fits(15, 512, 512, wbytes=2)
+    assert not fused_contraction_fits(15, 512, 1024, wbytes=2)
+
+
+def test_fused_bf16_weights_match_incode_cast():
+    """Shipping W pre-cast to the compute dtype is value-identical to the
+    old in-kernel cast: the bf16 fused kernel still matches the unfused
+    bf16 path to MXU rounding."""
+    from cofii2p_tpu.ops.kpconv_kernel import (
+        banded_kpconv_aggregate_pallas,
+        banded_kpconv_fused_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    n, c, d_out = 256, 32, 16
+    pts = jnp.asarray(_cloud(n, rng))[None]
+    feats = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(15, c, d_out)).astype(np.float32) * 0.1
+    )
+    kw = dict(KW, dtype=jnp.bfloat16)
+    out_f, cnt_f = banded_kpconv_fused_pallas(feats, pts, pts, w, **kw)
+    weighted, cnt = banded_kpconv_aggregate_pallas(feats, pts, pts, **kw)
+    out_u = jnp.einsum(
+        "bmkc,kcd->bmd",
+        weighted.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt))
+    rms = float(np.sqrt(np.mean(np.asarray(out_u) ** 2))) + 1e-12
+    rel = np.abs(np.asarray(out_f) - np.asarray(out_u)) / np.maximum(
+        np.abs(np.asarray(out_u)), rms
+    )
+    assert rel.max() < 5e-2, rel.max()

@@ -6,6 +6,7 @@ network.py:184; ours is parameterized by H/8 x W/8)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +53,7 @@ def test_train_step_without_normals():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_nonkitti_coarse_grid_forward():
     # nuScenes-like aspect: W half of KITTI's -> coarse grid H/8 x W/8
     # differs from the KITTI-hardcoded 20x64 of the reference

@@ -382,6 +382,7 @@ def cfg_tm():
     )
 
 
+@pytest.mark.slow
 def test_e2e_test_mode_parity(tmp_path, ref_model_tm, cfg_tm):
     """Inference-path agreement on bridged weights at the real 20x64 coarse
     grid: the reference's own fine_process loop output (selected superpoint

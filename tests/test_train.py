@@ -27,6 +27,7 @@ def setup():
     return cfg, model, tx, make_state, host
 
 
+@pytest.mark.slow
 def test_train_step_finite_and_updates(setup):
     cfg, model, tx, make_state, host = setup
     state = make_state()
@@ -43,6 +44,7 @@ def test_train_step_finite_and_updates(setup):
     assert max(jax.tree.leaves(delta)) > 0
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps(setup):
     cfg, model, tx, make_state, host = setup
     step = train_lib.make_train_step(cfg, model, tx)
@@ -65,6 +67,7 @@ def test_eval_step_recalls(setup):
     assert 0.0 <= out["fine_recall"] <= 1.0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh(setup):
     cfg, model, tx, make_state, host = setup
     mesh = make_mesh()
@@ -105,6 +108,7 @@ def test_resume_continues_lr_schedule():
     assert train_lib.resume_epoch(cfg, 10_000 * steps_per_epoch, steps_per_epoch) == cfg.epoch
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single_device(setup):
     """The 8-way sharded train step must agree with the unsharded step on the
     same batch: identical loss terms and gradient norm (XLA's inserted
