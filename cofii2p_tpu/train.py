@@ -105,6 +105,7 @@ def main(argv=None):
     logger.info("parameters: %.2fM", n_params / 1e6)
 
     global_step = int(state.step)
+    last_saved = -1
     stop = False
     # Resume continues the schedule (LR-decay position + epoch count) instead
     # of restarting it; see train_lib.resume_epoch.
@@ -141,10 +142,16 @@ def main(argv=None):
                 logger.info("val @%d: %s", global_step, mean)
             if args.ckpt_every_steps and global_step % args.ckpt_every_steps == 0:
                 save_checkpoint(save_dir, global_step, state)
+                last_saved = global_step
             if args.steps and global_step >= args.steps:
                 stop = True
                 break
-        if stop or (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0:
+        # a step-cadence save may have just written this step — orbax
+        # refuses to overwrite, so don't double-save it at the epoch/stop
+        # boundary (hit at exactly --steps % --ckpt_every_steps == 0)
+        if (stop or (epoch + 1) % max(args.ckpt_every_epochs, 1) == 0) and (
+            global_step != last_saved
+        ):
             path = save_checkpoint(save_dir, global_step, state)
             logger.info("saved %s", path)
         if stop:

@@ -44,15 +44,15 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
-    # (name, cross plan, self plan, center)
+    # (name, cross plan, self plan, center) — each config is a full eval
+    # compile (5-20 min remote), so the list is the speed/accuracy
+    # frontier's corners; add w384/centroid points only if these disagree
     plans = [
         ("static", None, None, "best"),
         ("w512", (0, 512, 512, 512, 0), (0, 0, 512, 512, 0), "best"),
-        ("w384", (0, 384, 384, 384, 0), (0, 0, 384, 384, 0), "best"),
         ("w256", (0, 256, 256, 256, 0), (0, 0, 256, 256, 0), "best"),
         ("w256all", (256, 256, 256, 256, 256), (256, 256, 256, 256, 256),
          "best"),
-        ("w256cent", (0, 256, 256, 256, 0), (0, 0, 256, 256, 0), "centroid"),
     ]
 
     base = KITTIConfig(compute_dtype=args.dtype)
