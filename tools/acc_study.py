@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cofii2p_tpu.config import KITTIConfig
+    from cofii2p_tpu.config import KITTIConfig, TinyConfig
     from cofii2p_tpu.data.loader import _collate
     from cofii2p_tpu.data.synthetic import SyntheticDataset
     from cofii2p_tpu.evaluation.pipeline import make_eval_body, pose_errors_np
@@ -37,11 +37,15 @@ def main():
     from cofii2p_tpu.utils.profiling import timeit_sync
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("ckpt", type=str)
+    ap.add_argument("ckpt", type=str, nargs="?", default=None)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--plans", default="all",
+                    help="comma-separated plan names, or 'all'")
+    ap.add_argument("--tiny", action="store_true",
+                    help="TinyConfig CPU smoke test (random init, no ckpt)")
     args = ap.parse_args()
 
     # (name, cross plan, self plan, center) — each config is a full eval
@@ -50,12 +54,25 @@ def main():
     plans = [
         ("static", None, None, "best"),
         ("w512", (0, 512, 512, 512, 0), (0, 0, 512, 512, 0), "best"),
+        ("w384", (0, 384, 384, 384, 0), (0, 0, 384, 384, 0), "best"),
         ("w256", (0, 256, 256, 256, 0), (0, 0, 256, 256, 0), "best"),
         ("w256all", (256, 256, 256, 256, 256), (256, 256, 256, 256, 256),
          "best"),
     ]
+    if args.plans != "all":
+        want = set(args.plans.split(","))
+        plans = [p for p in plans if p[0] in want]
 
-    base = KITTIConfig(compute_dtype=args.dtype)
+    if args.tiny:
+        base = TinyConfig(compute_dtype=args.dtype)
+        # Tiny levels are too small for the KITTI-scale window widths;
+        # exercise the dynamic-plan code path with minimal windows.
+        plans = [
+            ("static", None, None, "best"),
+            ("w8", (0, 8, 8, 8, 0), (0, 0, 8, 8, 0), "best"),
+        ]
+    else:
+        base = KITTIConfig(compute_dtype=args.dtype)
     nb = args.frames // args.batch
     ds = SyntheticDataset(base, "val", length=args.frames)
     batches = [
@@ -82,7 +99,8 @@ def main():
         state = train_lib.init_state(
             cfg, model, tx, jax.random.PRNGKey(0), host0
         )
-        state = restore_checkpoint(args.ckpt, state)
+        if args.ckpt is not None:
+            state = restore_checkpoint(args.ckpt, state)
         body = make_eval_body(cfg, model)
 
         @jax.jit
