@@ -249,11 +249,19 @@ def main():
     # bf16 serving config: ~10% faster than fp32 (PERF.md) and accuracy-
     # validated against fp32 on a trained checkpoint (same 32/32
     # registration success, comparable RRE/RTE); params remain fp32.
-    # NOTE: kpconv_dynamic_plan stays OFF here — at coverage-matched widths
-    # the dynamic windows moved the streamed pipeline only ~3 ms/batch (the
-    # skip guards already capture the same win in context; PERF.md round-4
-    # "dynamic windows in context" section, tools/dyn_pipeline_ab).
-    cfg = KITTIConfig(compute_dtype="bfloat16")
+    # Narrow dynamic windows (w=256 on the deep supports, center='best')
+    # are the round-4 serving default: the windows DROP out-of-window
+    # neighbors, so the width was gated on registration accuracy at a
+    # trained checkpoint before flipping (tools/acc_study.py; PERF.md
+    # round-4 "accuracy-vs-width frontier" + ACCURACY.md).  The
+    # coverage-matched widths of round 3 were a no-op because they were
+    # not narrower than the static bands (PERF.md "dynamic windows in
+    # context"); these are.
+    cfg = KITTIConfig(
+        compute_dtype="bfloat16",
+        kpconv_dynamic_plan=(0, 256, 256, 256, 0),
+        kpconv_dynamic_plan_self=(0, 0, 256, 256, 0),
+    )
 
     check_kernels(cfg)
 

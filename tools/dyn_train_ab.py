@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--tie", action="store_true",
                     help="also A/B tie_even on the static plan")
+    ap.add_argument("--plans", default="all",
+                    help="comma-separated config names, or 'all'")
     args = ap.parse_args()
 
     configs = [
@@ -41,6 +43,9 @@ def main():
         ("w512", (0, 512, 512, 512, 0), (0, 0, 512, 512, 0)),
         ("w256", (0, 256, 256, 256, 0), (0, 0, 256, 256, 0)),
     ]
+    if args.plans != "all":
+        want = set(args.plans.split(","))
+        configs = [c for c in configs if c[0] in want]
 
     results = {}
 
