@@ -257,10 +257,12 @@ def main():
     # coverage-matched widths of round 3 were a no-op because they were
     # not narrower than the static bands (PERF.md "dynamic windows in
     # context"); these are.
+    from cofii2p_tpu.config import FAST_DYNAMIC_PLAN, FAST_DYNAMIC_PLAN_SELF
+
     cfg = KITTIConfig(
         compute_dtype="bfloat16",
-        kpconv_dynamic_plan=(0, 256, 256, 256, 0),
-        kpconv_dynamic_plan_self=(0, 0, 256, 256, 0),
+        kpconv_dynamic_plan=FAST_DYNAMIC_PLAN,
+        kpconv_dynamic_plan_self=FAST_DYNAMIC_PLAN_SELF,
     )
 
     check_kernels(cfg)

@@ -284,6 +284,40 @@ def get_config(name: str) -> Config:
     )
 
 
+# The accuracy-gated narrow dynamic-window plan at KITTI scale (PERF.md
+# round-4 "accuracy-vs-width frontier" + trained-quality gate): w=256
+# windows on the deep cross pairs / deep self pairs.  bench.py serves with
+# it; ``train --fast`` trains with it.  Static bands stay the class default
+# because they are the parity/oracle configuration (windows narrower than a
+# tile's in-reach span DROP the out-of-window neighbors by design).
+FAST_DYNAMIC_PLAN = (0, 256, 256, 256, 0)
+FAST_DYNAMIC_PLAN_SELF = (0, 0, 256, 256, 0)
+
+
+def with_fast_windows(cfg: Config) -> Config:
+    """Apply the validated narrow-window plan unless the cfg already set one.
+
+    Plan entries whose window would cover the whole support level (tiny /
+    downscaled configs) fall back to the static band (0): there is nothing
+    to win there, and `dynamic_band_starts` clips starts to [0, N - width].
+    """
+    if cfg.kpconv_dynamic_plan is not None or cfg.kpconv_impl != "banded":
+        return cfg
+    sizes = cfg.pyramid_sizes
+
+    def fit(plan: tuple) -> tuple:
+        return tuple(
+            w if (lvl < len(sizes) and 0 < w < sizes[lvl]) else 0
+            for lvl, w in enumerate(plan)
+        )
+
+    return cfg.replace(
+        kpconv_dynamic_plan=fit(FAST_DYNAMIC_PLAN),
+        kpconv_dynamic_plan_self=fit(FAST_DYNAMIC_PLAN_SELF),
+        kpconv_dynamic_center="best",
+    )
+
+
 def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
     """Apply ``key=value`` CLI overrides with type coercion from field types."""
     if not overrides:

@@ -16,7 +16,7 @@ import os
 import jax
 import numpy as np
 
-from cofii2p_tpu.config import apply_overrides, get_config
+from cofii2p_tpu.config import apply_overrides, get_config, with_fast_windows
 from cofii2p_tpu.data.loader import BatchLoader
 from cofii2p_tpu.models import CoFiI2P
 from cofii2p_tpu.parallel.mesh import make_mesh, shard_host_batch
@@ -56,10 +56,18 @@ def main(argv=None):
         "--ckpt_every_epochs", type=int, default=1,
         help="save cadence in epochs (reference saves every epoch)",
     )
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="train with the accuracy-gated w256 dynamic windows "
+        "(config.FAST_DYNAMIC_PLAN; ~1.5x step speedup, PERF.md round-4 "
+        "trained-quality gate); explicit kpconv_dynamic_plan= overrides win",
+    )
     parser.add_argument("overrides", nargs="*", help="config key=value overrides")
     args = parser.parse_args(argv)
 
     cfg = apply_overrides(get_config(args.dataset), args.overrides)
+    if args.fast:
+        cfg = with_fast_windows(cfg)
     batch_size = args.batch_size or cfg.train_batch_size
 
     mesh = make_mesh()

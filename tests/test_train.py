@@ -140,3 +140,39 @@ def test_dp_sharded_step_matches_single_device(setup):
     assert all(
         bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(out_shard.params)
     )
+
+
+def test_with_fast_windows():
+    """`train --fast` applies the gated w256 plan; explicit plans and
+    non-banded impls are left alone (config.with_fast_windows)."""
+    from cofii2p_tpu.config import (
+        FAST_DYNAMIC_PLAN, FAST_DYNAMIC_PLAN_SELF, KITTIConfig,
+        with_fast_windows,
+    )
+
+    fast = with_fast_windows(KITTIConfig())
+    assert fast.kpconv_dynamic_plan == FAST_DYNAMIC_PLAN
+    assert fast.kpconv_dynamic_plan_self == FAST_DYNAMIC_PLAN_SELF
+    assert fast.kpconv_dynamic_center == "best"
+
+    # explicit plan wins
+    explicit = KITTIConfig(kpconv_dynamic_plan=(0, 512, 512, 512, 0))
+    assert with_fast_windows(explicit) is explicit
+
+    # dynamic starts are radius-banded only; parity impls are untouched
+    knn = KITTIConfig(kpconv_impl="banded_knn")
+    assert with_fast_windows(knn) is knn
+
+
+def test_with_fast_windows_tiny_fits():
+    """At tiny scale the KITTI windows exceed the level sizes; entries that
+    cannot win fall back to the static bands instead of producing invalid
+    clipped starts."""
+    from cofii2p_tpu.config import TinyConfig, with_fast_windows
+
+    cfg = with_fast_windows(TinyConfig())
+    sizes = cfg.pyramid_sizes
+    for plan in (cfg.kpconv_dynamic_plan, cfg.kpconv_dynamic_plan_self):
+        assert plan is not None
+        for lvl, w in enumerate(plan):
+            assert w == 0 or w < sizes[lvl], (lvl, w, sizes)

@@ -58,6 +58,11 @@ def main():
         ("w256", (0, 256, 256, 256, 0), (0, 0, 256, 256, 0), "best"),
         ("w256all", (256, 256, 256, 256, 256), (256, 256, 256, 256, 256),
          "best"),
+        # below-256 frontier points (round 4 cont.): each drops more
+        # out-of-window neighbors; only promotable if the registration
+        # metrics hold like w256's did
+        ("w192", (0, 192, 192, 192, 0), (0, 0, 192, 192, 0), "best"),
+        ("w128", (0, 128, 128, 128, 0), (0, 0, 128, 128, 0), "best"),
     ]
     if args.plans != "all":
         want = set(args.plans.split(","))
