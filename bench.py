@@ -249,20 +249,21 @@ def main():
     # bf16 serving config: ~10% faster than fp32 (PERF.md) and accuracy-
     # validated against fp32 on a trained checkpoint (same 32/32
     # registration success, comparable RRE/RTE); params remain fp32.
-    # Narrow dynamic windows (w=256 on the deep supports, center='best')
+    # Narrow dynamic windows (w=192 on the deep supports, center='best')
     # are the round-4 serving default: the windows DROP out-of-window
-    # neighbors, so the width was gated on registration accuracy at a
-    # trained checkpoint before flipping (tools/acc_study.py; PERF.md
-    # round-4 "accuracy-vs-width frontier" + ACCURACY.md).  The
-    # coverage-matched widths of round 3 were a no-op because they were
-    # not narrower than the static bands (PERF.md "dynamic windows in
-    # context"); these are.
-    from cofii2p_tpu.config import FAST_DYNAMIC_PLAN, FAST_DYNAMIC_PLAN_SELF
+    # neighbors, so each width was gated on registration accuracy at a
+    # trained checkpoint before flipping — w256 on two checkpoints, then
+    # w192 on a 64-frame confirmation run that matched w256's metrics
+    # (tools/acc_study.py; PERF.md round-4 "accuracy-vs-width frontier"
+    # + ACCURACY.md).  The coverage-matched widths of round 3 were a
+    # no-op because they were not narrower than the static bands
+    # (PERF.md "dynamic windows in context"); these are.
+    from cofii2p_tpu.config import SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF
 
     cfg = KITTIConfig(
         compute_dtype="bfloat16",
-        kpconv_dynamic_plan=FAST_DYNAMIC_PLAN,
-        kpconv_dynamic_plan_self=FAST_DYNAMIC_PLAN_SELF,
+        kpconv_dynamic_plan=SERVE_DYNAMIC_PLAN,
+        kpconv_dynamic_plan_self=SERVE_DYNAMIC_PLAN_SELF,
     )
 
     check_kernels(cfg)

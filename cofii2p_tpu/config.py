@@ -284,14 +284,22 @@ def get_config(name: str) -> Config:
     )
 
 
-# The accuracy-gated narrow dynamic-window plan at KITTI scale (PERF.md
-# round-4 "accuracy-vs-width frontier" + trained-quality gate): w=256
-# windows on the deep cross pairs / deep self pairs.  bench.py serves with
-# it; ``train --fast`` trains with it.  Static bands stay the class default
-# because they are the parity/oracle configuration (windows narrower than a
-# tile's in-reach span DROP the out-of-window neighbors by design).
+# Accuracy-gated narrow dynamic-window plans at KITTI scale (PERF.md
+# round-4 "accuracy-vs-width frontier" + trained-quality gate).  Static
+# bands stay the class default because they are the parity/oracle
+# configuration (windows narrower than a tile's in-reach span DROP the
+# out-of-window neighbors by design).
+#
+# FAST_*: the w256 plan ``train --fast`` applies — the width the full
+# 2000-step trained-quality gate actually ran (training narrower is
+# ungated).  SERVE_*: the w192 plan bench.py serves with — on the
+# 64-frame confirmation run it matched w256's registration (RRE 31.79
+# vs 31.71 deg, RTE +1.4 m inside frame-sampling noise, success 64/64
+# both) at 5.6 ms/batch less.
 FAST_DYNAMIC_PLAN = (0, 256, 256, 256, 0)
 FAST_DYNAMIC_PLAN_SELF = (0, 0, 256, 256, 0)
+SERVE_DYNAMIC_PLAN = (0, 192, 192, 192, 0)
+SERVE_DYNAMIC_PLAN_SELF = (0, 0, 192, 192, 0)
 
 
 def with_fast_windows(cfg: Config) -> Config:

@@ -46,9 +46,24 @@ def main():
     ap.add_argument(
         "--variants", default="full,mp,agg,near,gn,kernels,all"
     )
+    ap.add_argument(
+        "--plan", default="static",
+        help="'static' (the parity bands) or 'serve' (the bench serving "
+        "plan, config.SERVE_DYNAMIC_PLAN) — measure stage shares under "
+        "the narrow windows",
+    )
     args = ap.parse_args()
 
     cfg = KITTIConfig(compute_dtype=args.dtype)
+    if args.plan == "serve":
+        from cofii2p_tpu.config import (
+            SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF,
+        )
+
+        cfg = cfg.replace(
+            kpconv_dynamic_plan=SERVE_DYNAMIC_PLAN,
+            kpconv_dynamic_plan_self=SERVE_DYNAMIC_PLAN_SELF,
+        )
     model = CoFiI2P(cfg)
     ds = SyntheticDataset(cfg, "val", length=args.batch * args.chunk)
     batches = [
