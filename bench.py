@@ -257,7 +257,10 @@ def main():
     # (tools/acc_study.py; PERF.md round-4 "accuracy-vs-width frontier"
     # + ACCURACY.md).  The coverage-matched widths of round 3 were a
     # no-op because they were not narrower than the static bands
-    # (PERF.md "dynamic windows in context"); these are.
+    # (PERF.md "dynamic windows in context"); these are.  Scope note
+    # (ADVICE r4): the w192 confirmation ran on the w256-trained
+    # checkpoint only (the w256 gate covered both checkpoints); bench
+    # serves w192 regardless of checkpoint.
     from cofii2p_tpu.config import SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF
 
     cfg = KITTIConfig(

@@ -309,7 +309,12 @@ def with_fast_windows(cfg: Config) -> Config:
     downscaled configs) fall back to the static band (0): there is nothing
     to win there, and `dynamic_band_starts` clips starts to [0, N - width].
     """
-    if cfg.kpconv_dynamic_plan is not None or cfg.kpconv_impl != "banded":
+    if (
+        cfg.kpconv_dynamic_plan is not None
+        or cfg.kpconv_dynamic_plan_self is not None
+        or cfg.kpconv_impl != "banded"
+    ):
+        # An explicit window plan (either pair kind) wins over --fast.
         return cfg
     sizes = cfg.pyramid_sizes
 
@@ -322,7 +327,9 @@ def with_fast_windows(cfg: Config) -> Config:
     return cfg.replace(
         kpconv_dynamic_plan=fit(FAST_DYNAMIC_PLAN),
         kpconv_dynamic_plan_self=fit(FAST_DYNAMIC_PLAN_SELF),
-        kpconv_dynamic_center="best",
+        # keep cfg.kpconv_dynamic_center: an explicit kpconv_dynamic_center=
+        # override composes with --fast (the field default is already 'best',
+        # the gated placement).
     )
 
 

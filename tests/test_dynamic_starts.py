@@ -227,8 +227,8 @@ def test_model_dynamic_plan_matches_static():
     """config.kpconv_dynamic_plan plumbed through the assembled network
     (CoFiI2P -> KPConvFPN -> blocks): with windows that cover the whole
     (tiny) levels, the dynamic-plan eval forward must reproduce the static
-    plan's outputs to fp tolerance (the same contract tools/drive_dynplan.py
-    checks on the real TPU).  XLA twins on both sides — this pins the MODEL
+    plan's outputs to fp tolerance (the round-3 TPU driver checked the same
+    contract on hardware; its findings live in PERF.md).  XLA twins on both sides — this pins the MODEL
     plumbing (per-pair shared starts, per-level width override), not the
     kernels, which the tests above cover."""
     import dataclasses

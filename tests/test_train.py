@@ -155,9 +155,18 @@ def test_with_fast_windows():
     assert fast.kpconv_dynamic_plan_self == FAST_DYNAMIC_PLAN_SELF
     assert fast.kpconv_dynamic_center == "best"
 
-    # explicit plan wins
+    # explicit plan wins — either pair kind (ADVICE r4: a CLI
+    # kpconv_dynamic_plan_self= override composed with --fast must not be
+    # clobbered)
     explicit = KITTIConfig(kpconv_dynamic_plan=(0, 512, 512, 512, 0))
     assert with_fast_windows(explicit) is explicit
+    explicit_self = KITTIConfig(kpconv_dynamic_plan_self=(0, 0, 512, 512, 0))
+    assert with_fast_windows(explicit_self) is explicit_self
+
+    # an explicit center override survives --fast
+    centered = with_fast_windows(KITTIConfig(kpconv_dynamic_center="centroid"))
+    assert centered.kpconv_dynamic_center == "centroid"
+    assert centered.kpconv_dynamic_plan == FAST_DYNAMIC_PLAN
 
     # dynamic starts are radius-banded only; parity impls are untouched
     knn = KITTIConfig(kpconv_impl="banded_knn")

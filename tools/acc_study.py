@@ -43,7 +43,9 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--plans", default="all",
-                    help="comma-separated plan names, or 'all'")
+                    help="comma-separated plan names, or 'all' (7 plans = 7 "
+                         "full eval compiles; w192/w128 joined in round 4, "
+                         "so 'all' runs two more passes than it used to)")
     ap.add_argument("--tiny", action="store_true",
                     help="TinyConfig CPU smoke test (random init, no ckpt)")
     args = ap.parse_args()
