@@ -169,6 +169,12 @@ class Config:
     # 'centroid' / 'span' = the round-3 estimators (see
     # ops/banded.dynamic_band_starts).
     kpconv_dynamic_center: str = "best"
+    # Fold each strided block's shortcut maxpool into its conv's Pallas band
+    # pass (ops/residual_kernel.py).  Default OFF: the round-5 A/B measured
+    # the fusion a wash at the w192 serving geometry (the pair is VPU-bound,
+    # not DMA/d2-bound — see PERF.md "fused residual band pass"); the kernel
+    # stays available for re-testing as geometries change.
+    kpconv_residual_fused: bool = False
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

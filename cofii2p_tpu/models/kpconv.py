@@ -138,7 +138,14 @@ class KPConv(nn.Module):
     aggregate_compact: int = 0
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None, mp_feats=None):
+        """``mp_feats`` (B, N, C_in_block): when given (the strided
+        ResidualBlock's banded-pallas path), the call ALSO computes the
+        block's shortcut maxpool of ``mp_feats`` over the same in-reach
+        neighborhood in one fused band pass (ops/residual_kernel.py) and
+        returns ``(out, shortcut)`` — ``shortcut`` is None when the fused
+        kernel does not apply (caller falls back to the separate maxpool).
+        """
         cin = s_feats.shape[-1]
         k = self.kernel_size
 
@@ -162,6 +169,11 @@ class KPConv(nn.Module):
         kernel_points = jax.lax.stop_gradient(
             self.param("kernel_points", lambda key, shape: jnp.asarray(kp_default), (k, 3))
         )
+
+        def _ret(out, shortcut=None):
+            # keep the plain-out contract unless the caller asked for the
+            # fused shortcut (mp_feats is not None)
+            return (out, shortcut) if mp_feats is not None else out
 
         if self.aggregate_compact > 0 and self.impl in ("banded", "banded_knn"):
             # compacted top-k formulation (XLA): select each query's k
@@ -206,7 +218,7 @@ class KPConv(nn.Module):
                     (self.out_channels,),
                 )
                 out = out + bias
-            return out
+            return _ret(out)
 
         if self.impl == "banded_knn":
             if tau is None:
@@ -244,7 +256,7 @@ class KPConv(nn.Module):
                             (self.out_channels,),
                         )
                         out = out + bias
-                    return out
+                    return _ret(out)
 
                 weighted, count = banded_kpconv_aggregate_tau_pallas(
                     s_feats, q_points, s_points, tau, kernel_points,
@@ -275,7 +287,7 @@ class KPConv(nn.Module):
                     (self.out_channels,),
                 )
                 out = out + bias
-            return out
+            return _ret(out)
 
         if self.impl == "banded":
             use_pallas = self.kernel == "pallas" or (
@@ -287,6 +299,49 @@ class KPConv(nn.Module):
                     banded_kpconv_fused_pallas,
                     fused_contraction_fits,
                 )
+
+                if mp_feats is not None:
+                    # strided ResidualBlock: fold the shortcut maxpool of
+                    # mp_feats into this conv's band pass — same membership
+                    # (kernel reach), same tiles/bands/starts, one shared
+                    # d2 + band DMA (ops/residual_kernel.py)
+                    from cofii2p_tpu.ops.banded import _band_geometry
+                    from cofii2p_tpu.ops.residual_kernel import (
+                        banded_residual_fused_pallas,
+                        residual_fused_fits,
+                    )
+
+                    if starts is not None:
+                        band = min(self.band_width, s_points.shape[1])
+                    else:
+                        band = _band_geometry(
+                            q_points.shape[1], s_points.shape[1], self.tile,
+                            self.band_width,
+                        )[2]
+                    wb = jnp.dtype(self.dtype).itemsize
+                    if fused_contraction_fits(
+                        k, cin, self.out_channels, self.tile, wbytes=wb
+                    ) and residual_fused_fits(
+                        k, cin, self.out_channels, mp_feats.shape[-1], band,
+                        self.tile, wbytes=wb,
+                        fbytes=jnp.dtype(mp_feats.dtype).itemsize,
+                    ):
+                        out, count, shortcut = banded_residual_fused_pallas(
+                            mp_feats, s_feats, weights, q_points, s_points,
+                            self.radius, self.sigma, k, self.tile,
+                            self.band_width, self.dtype, True, starts,
+                        )
+                        out = out / count[..., None].astype(out.dtype)
+                        if self.use_bias:
+                            bias = self.param(
+                                "bias",
+                                lambda key, shape: jax.random.uniform(
+                                    key, shape, jnp.float32, -bound, bound
+                                ),
+                                (self.out_channels,),
+                            )
+                            out = out + bias
+                        return _ret(out, shortcut)
 
                 if fused_contraction_fits(
                     k, cin, self.out_channels, self.tile,
@@ -310,7 +365,7 @@ class KPConv(nn.Module):
                             (self.out_channels,),
                         )
                         out = out + bias
-                    return out
+                    return _ret(out)
 
                 weighted, count = banded_kpconv_aggregate_pallas(
                     s_feats, q_points, s_points, self.radius, self.sigma, k,
@@ -346,7 +401,7 @@ class KPConv(nn.Module):
                     (self.out_channels,),
                 )
                 out = out + bias
-            return out
+            return _ret(out)
 
         if influence is None:
             influence = kernel_influence(
@@ -389,7 +444,7 @@ class KPConv(nn.Module):
                 (self.out_channels,),
             )
             out = out + bias
-        return out
+        return _ret(out)
 
 
 class UnaryBlock(nn.Module):
@@ -461,6 +516,9 @@ class ResidualBlock(nn.Module):
     # (ops/banded.banded_compact_maxpool) for the strided shortcut
     maxpool_compact: int = 0
     aggregate_compact: int = 0
+    # fold the shortcut maxpool into the conv's Pallas band pass
+    # (config.kpconv_residual_fused; measured a wash — PERF.md round 5)
+    residual_fused: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices=None, influence=None, tau=None, rel=None, starts=None):
@@ -469,12 +527,33 @@ class ResidualBlock(nn.Module):
         x = s_feats
         if self.in_channels != mid:
             x = UnaryBlock(mid, self.norm, self.group_norm, dtype=self.dtype, name="unary1")(x)
+        # strided banded-pallas blocks fold the shortcut maxpool into the
+        # conv's band pass (ops/residual_kernel.py) — request it by passing
+        # the block input as mp_feats; KPConv returns (out, shortcut) then,
+        # with shortcut None when the fused kernel's VMEM check rejects
+        fused_mp = None
+        if (
+            self.residual_fused
+            and self.strided
+            and self.impl == "banded"
+            and self.maxpool_compact == 0
+            and self.aggregate_compact == 0
+            and (
+                self.kernel == "pallas"
+                or (self.kernel == "auto" and jax.default_backend() == "tpu")
+            )
+        ):
+            fused_mp = s_feats
         x = KPConv(
             mid, self.kernel_size, self.radius, self.sigma, dtype=self.dtype,
             impl=self.impl, tile=self.tile, band_width=self.band_width,
             kernel=self.kernel, knn_k=self.knn_k,
             aggregate_compact=self.aggregate_compact, name="KPConv",
-        )(x, q_points, s_points, neighbor_indices, influence, tau, rel, starts)
+        )(x, q_points, s_points, neighbor_indices, influence, tau, rel, starts,
+          mp_feats=fused_mp)
+        fused_shortcut = None
+        if fused_mp is not None:
+            x, fused_shortcut = x
         x = norm_factory(self.norm, self.group_norm)(x)
         x = leaky_relu(x)
         x = UnaryBlock(
@@ -483,7 +562,9 @@ class ResidualBlock(nn.Module):
         )(x)
 
         if self.strided:
-            if self.maxpool_compact > 0 and self.impl in ("banded", "banded_knn"):
+            if fused_shortcut is not None:
+                shortcut = fused_shortcut
+            elif self.maxpool_compact > 0 and self.impl in ("banded", "banded_knn"):
                 # compacted top-k formulation (XLA): select each query's
                 # k nearest band rows, gather, max — no band rescan
                 knn_mode = self.impl == "banded_knn"
@@ -617,6 +698,9 @@ class KPConvFPN(nn.Module):
     # window placement estimator for dynamic starts (ops/banded.py::
     # dynamic_band_starts): 'best' = max-kept-mass sliding window
     dynamic_center: str = "best"
+    # fold strided shortcut maxpools into the conv band pass (see
+    # ResidualBlock.residual_fused)
+    residual_fused: bool = False
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -718,6 +802,7 @@ class KPConvFPN(nn.Module):
             return dict(
                 kw(support_lvl, is_self),
                 maxpool_compact=mp_compact(support_lvl),
+                residual_fused=self.residual_fused,
             )
 
         def tau_for(q_pts, s_pts, support_lvl):

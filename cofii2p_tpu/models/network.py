@@ -123,6 +123,7 @@ class CoFiI2P(nn.Module):
             dynamic_plan=cfg.kpconv_dynamic_plan,
             dynamic_plan_self=cfg.kpconv_dynamic_plan_self,
             dynamic_center=cfg.kpconv_dynamic_center,
+            residual_fused=cfg.kpconv_residual_fused,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

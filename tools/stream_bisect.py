@@ -10,19 +10,26 @@ each piece's share is a delta between two *trusted* totals.
 Run with the bench config (bf16) by default — shares measured in fp32 do
 not transfer (the select chain runs in the feature dtype).
 
+Round 5 adds non-kernel stage stubs (resnet, transformer, heads, fine,
+ransac, resfuse) so the ~51 ms "glue" floor gets the same trusted
+decomposition the kernels got in round 4 (VERDICT r4 weak #3).
+
 Usage: python -m tools.stream_bisect [--batch 8] [--chunk 4]
        [--dtype bfloat16] [--variants full,mp,agg,near,gn,kernels,all]
+       [--variants full,resnet,transformer,heads,fine,ransac --plan serve]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+from typing import Any
 
 import numpy as np
 
 
 def main():
+    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
@@ -31,12 +38,16 @@ def main():
     from cofii2p_tpu.data.synthetic import SyntheticDataset
     from cofii2p_tpu.evaluation.pipeline import make_eval_body
     from cofii2p_tpu.models import CoFiI2P
+    from cofii2p_tpu.pose.ransac import RansacResult
     from cofii2p_tpu import train_lib
     from cofii2p_tpu.utils.profiling import timeit_sync
+    import cofii2p_tpu.evaluation.pipeline as pipe_mod
     import cofii2p_tpu.models.kpconv as kpconv_mod
     import cofii2p_tpu.models.layers as layers_mod
+    import cofii2p_tpu.models.network as net_mod
     import cofii2p_tpu.ops.kpconv_kernel as agg_mod
     import cofii2p_tpu.ops.maxpool_kernel as mp_mod
+    import cofii2p_tpu.ops.residual_kernel as res_mod
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -85,6 +96,13 @@ def main():
     real_mp = mp_mod.banded_maxpool_pallas
     real_near = kpconv_mod.banded_nearest_index
     real_gn = layers_mod._gn_normalize
+    real_resfuse = res_mod.banded_residual_fused_pallas
+    real_resnet = net_mod.ResNetEncoder
+    real_tf = net_mod.LocalFeatureTransformer
+    real_score = net_mod.ScoreHead
+    real_pchead = net_mod.PCFeatureHead
+    real_fine = pipe_mod.fine_match_xy
+    real_ransac = pipe_mod.ransac_pnp
 
     def stub_agg(s_feats, q_points, s_points, radius, sigma, kernel_size=15,
                  tile=128, band_width=1024, dtype=jnp.float32, starts=None):
@@ -114,12 +132,123 @@ def main():
     def stub_gn(x, g, eps):
         return x.astype(jnp.float32)
 
-    def set_stubs(agg=False, mp=False, near=False, gn=False):
+    def stub_resfuse(mp_feats, agg_feats, weights, q_points, s_points,
+                     radius, sigma, kernel_size=15, tile=128, band_width=1024,
+                     dtype=jnp.float32, tie_even=True, starts=None):
+        out, count = stub_fused(
+            agg_feats, q_points, s_points, weights, radius, sigma,
+            kernel_size, tile, band_width, dtype, starts,
+        )
+        return out, count, stub_mp(mp_feats, q_points, s_points, 0.0)
+
+    def resfuse_via_pair(mp_feats, agg_feats, weights, q_points, s_points,
+                         radius, sigma, kernel_size=15, tile=128,
+                         band_width=1024, dtype=jnp.float32, tie_even=True,
+                         starts=None):
+        # split the fused residual kernel back into the pair so the mp/agg
+        # stubs apply independently (resolves the possibly-stubbed module
+        # attrs at trace time)
+        from cofii2p_tpu.ops.banded import kernel_reach
+
+        out, count = agg_mod.banded_kpconv_fused_pallas(
+            agg_feats, q_points, s_points, weights, radius, sigma,
+            kernel_size, tile, band_width, dtype, starts,
+        )
+        mp = mp_mod.banded_maxpool_pallas(
+            mp_feats, q_points, s_points,
+            kernel_reach(radius, sigma, kernel_size), tile, band_width,
+            tie_even, starts,
+        )
+        return out, count, mp
+
+    # ---- non-kernel stage stubs (round 5): param-less module/function
+    # twins with the right output structure and a tiny input dependence so
+    # XLA cannot DCE the data path ----
+
+    class StubResNet(nn.Module):
+        stage_sizes: Any = (3, 4, 6, 3)
+        stage_features: Any = (64, 128, 256, 512)
+        dtype: Any = jnp.float32
+
+        @nn.compact
+        def __call__(self, x):
+            b, h, w, _ = x.shape
+            base = jnp.mean(x, axis=-1, keepdims=True).astype(self.dtype)
+            out = []
+            for i, c in enumerate((64, 64, 128, 256, 512)):
+                s = 2 ** (i + 1)
+                out.append(
+                    jnp.broadcast_to(base[:, ::s, ::s, :], (b, h // s, w // s, c))
+                )
+            out.append(jnp.mean(out[-1], axis=(1, 2), keepdims=True))
+            return out
+
+    class StubTF(nn.Module):
+        d_model: int = 128
+        nhead: int = 4
+        layer_names: Any = ()
+        dtype: Any = jnp.float32
+        attention: str = "full"
+
+        @nn.compact
+        def __call__(self, feat0, feat1):
+            mix = (jnp.mean(feat0) + jnp.mean(feat1)) * 1e-6
+            return feat0 + mix.astype(feat0.dtype), feat1 + mix.astype(feat1.dtype)
+
+    class StubScore(nn.Module):
+        dtype: Any = jnp.float32
+
+        @nn.compact
+        def __call__(self, x):
+            return jax.nn.sigmoid(
+                jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+            )
+
+    class StubPCHead(nn.Module):
+        dtype: Any = jnp.float32
+
+        @nn.compact
+        def __call__(self, x):
+            return x[..., :128].astype(self.dtype)
+
+    def stub_fine(fine_img_patch, fine_pc_feature, fine_center_xy,
+                  decode="label"):
+        eps = (
+            jnp.mean(fine_img_patch) + jnp.mean(fine_pc_feature)
+        ).astype(jnp.float32) * 1e-6
+        return fine_center_xy.astype(jnp.float32) + eps
+
+    def stub_ransac(rng, object_points, image_points, K, mask,
+                    inlier_threshold=8.0, num_hypotheses=1024, sample_size=6,
+                    refine_iters=2):
+        t = jnp.mean(object_points, axis=0) + jnp.mean(image_points) * 1e-6
+        return RansacResult(
+            R=jnp.eye(3, dtype=jnp.float32),
+            t=t.astype(jnp.float32),
+            inlier_mask=mask > 0,
+            num_inliers=jnp.sum(mask).astype(jnp.int32),
+            success=jnp.sum(mask) > 0,
+        )
+
+    def set_stubs(agg=False, mp=False, near=False, gn=False, resnet=False,
+                  tf=False, heads=False, fine=False, ransac=False):
         agg_mod.banded_kpconv_aggregate_pallas = stub_agg if agg else real_agg
         agg_mod.banded_kpconv_fused_pallas = stub_fused if agg else real_fused
         kpconv_mod.banded_nearest_index = stub_near if near else real_near
         mp_mod.banded_maxpool_pallas = stub_mp if mp else real_mp
         layers_mod._gn_normalize = stub_gn if gn else real_gn
+        if agg and mp:
+            res_mod.banded_residual_fused_pallas = stub_resfuse
+        elif agg or mp:
+            res_mod.banded_residual_fused_pallas = resfuse_via_pair
+        else:
+            res_mod.banded_residual_fused_pallas = real_resfuse
+        net_mod.ResNetEncoder = StubResNet if resnet else real_resnet
+        net_mod.LocalFeatureTransformer = StubTF if tf else real_tf
+        net_mod.ScoreHead = StubScore if heads else real_score
+        net_mod.PCFeatureHead = StubPCHead if heads else real_pchead
+        pipe_mod.fine_match_xy = stub_fine if fine else real_fine
+        pipe_mod.ransac_pnp = stub_ransac if ransac else real_ransac
 
     variants = {
         "full": {},
@@ -129,6 +258,13 @@ def main():
         "gn": dict(gn=True),
         "kernels": dict(mp=True, agg=True),
         "all": dict(mp=True, agg=True, near=True, gn=True),
+        # round-5 glue decomposition
+        "resnet": dict(resnet=True),
+        "transformer": dict(tf=True),
+        "heads": dict(heads=True),
+        "fine": dict(fine=True),
+        "ransac": dict(ransac=True),
+        "glue": dict(resnet=True, tf=True, heads=True, fine=True, ransac=True),
     }
     want = args.variants.split(",")
 
