@@ -175,6 +175,14 @@ class Config:
     # not DMA/d2-bound — see PERF.md "fused residual band pass"); the kernel
     # stays available for re-testing as geometries change.
     kpconv_residual_fused: bool = False
+    # Per-support-level kNN window widths for impl='banded_knn' (the `.t7`
+    # reproduction path): each pair's scan is windowed to the width-W span
+    # holding maximum in-tau mass (ops/banded.dynamic_knn_starts).  Unlike
+    # the radius windows, kNN windows are EXACT wherever a tile's k-nearest
+    # rows fit W (they are Morton-local by construction); coverage measured
+    # in tools/knn_window_ab.  None = full static bands (round-4 behavior).
+    # Forward-only: training with this set raises in the kernels' VJPs.
+    kpconv_knn_window_plan: tuple | None = None
     # share one influence tensor per (level, radius) across sibling KPConv
     # blocks (valid while all layers use the canonical kernel disposition).
     # eval of reference .t7 checkpoints sets this False: each reference layer

@@ -34,6 +34,7 @@ from cofii2p_tpu.ops.banded import (
     banded_maxpool,
     banded_nearest_index,
     dynamic_band_starts,
+    dynamic_knn_starts,
     kernel_reach,
 )
 from cofii2p_tpu.ops.geometry import gather_neighbors
@@ -244,7 +245,7 @@ class KPConv(nn.Module):
                     out, count = banded_kpconv_fused_tau_pallas(
                         s_feats, q_points, s_points, weights, tau,
                         kernel_points, self.radius, self.sigma, k, self.tile,
-                        self.band_width, self.dtype,
+                        self.band_width, self.dtype, starts,
                     )
                     out = out / count[..., None].astype(out.dtype)
                     if self.use_bias:
@@ -261,8 +262,16 @@ class KPConv(nn.Module):
                 weighted, count = banded_kpconv_aggregate_tau_pallas(
                     s_feats, q_points, s_points, tau, kernel_points,
                     self.radius, self.sigma, k, self.tile, self.band_width,
-                    self.dtype,
+                    self.dtype, starts,
                 )
+            elif starts is not None:
+                weighted, count = jax.vmap(
+                    lambda f, q, s, t, st: banded_kpconv_aggregate(
+                        f, q, s, self.radius, self.sigma, k,
+                        self.tile, self.band_width, self.dtype,
+                        tau=t, kp=kernel_points, starts=st,
+                    )
+                )(s_feats, q_points, s_points, tau, starts)
             else:
                 weighted, count = jax.vmap(
                     lambda f, q, s, t: banded_kpconv_aggregate(
@@ -606,8 +615,15 @@ class ResidualBlock(nn.Module):
 
                     shortcut = banded_maxpool_tau_pallas(
                         s_feats, q_points, s_points, tau, self.tile,
-                        self.band_width,
+                        self.band_width, True, starts,
                     )
+                elif starts is not None:
+                    shortcut = jax.vmap(
+                        lambda f, q, s, t, st: banded_maxpool(
+                            f, q, s, 0.0, self.tile, self.band_width, tau=t,
+                            starts=st,
+                        )
+                    )(s_feats, q_points, s_points, tau, starts)
                 else:
                     shortcut = jax.vmap(
                         lambda f, q, s, t: banded_maxpool(
@@ -701,6 +717,9 @@ class KPConvFPN(nn.Module):
     # fold strided shortcut maxpools into the conv band pass (see
     # ResidualBlock.residual_fused)
     residual_fused: bool = False
+    # per-support-level kNN window widths (impl='banded_knn' only; see
+    # config.kpconv_knn_window_plan — exact wherever the k-nearest fit)
+    knn_window_plan: Any = None
     # share one influence tensor per (level, radius) across sibling blocks —
     # valid only while every KPConv uses the canonical kernel disposition.
     # Set False after import_t7 (per-layer reference dispositions) so each
@@ -772,8 +791,17 @@ class KPConvFPN(nn.Module):
                 )
             return w
 
+        def knn_w(support_lvl: int) -> int:
+            # kNN window width (impl='banded_knn'): windows the tau kernels'
+            # scan to the max-in-tau-mass span; exact wherever the k-nearest
+            # fit the width (ops/banded.dynamic_knn_starts)
+            if not knn_mode or self.knn_window_plan is None:
+                return 0
+            plan = self.knn_window_plan
+            return int(plan[support_lvl] or 0) if support_lvl < len(plan) else 0
+
         def kw(support_lvl: int, is_self: bool = True) -> dict:
-            w = dyn_w(support_lvl, is_self)
+            w = dyn_w(support_lvl, is_self) or knn_w(support_lvl)
             return dict(
                 norm=self.norm, group_norm=self.group_norm, dtype=self.dtype,
                 impl=self.impl, tile=self.tile,
@@ -782,10 +810,22 @@ class KPConvFPN(nn.Module):
                 aggregate_compact=agg_compact(support_lvl),
             )
 
-        def starts_for(q_pts, s_pts, support_lvl, radius_scale, is_self):
+        def starts_for(q_pts, s_pts, support_lvl, radius_scale, is_self,
+                       tau=None):
             # one starts tensor per (query level, support level) pair,
             # shared by every sibling block on it (the blocks at a pair all
-            # run the same radius, so one in-reach span serves them all)
+            # run the same radius, so one in-reach span serves them all).
+            # knn mode: tau-based exact-coverage windows instead of the
+            # radius in-reach estimator.
+            if knn_mode:
+                w = knn_w(support_lvl)
+                if w == 0 or tau is None:
+                    return None
+                return jax.vmap(
+                    lambda q, sp, t: dynamic_knn_starts(
+                        q, sp, t, self.tile, w
+                    )
+                )(q_pts, s_pts, tau)
             w = dyn_w(support_lvl, is_self)
             if w == 0:
                 return None
@@ -841,7 +881,8 @@ class KPConvFPN(nn.Module):
         )
         tau0 = tau_for(points[0], points[0], 0)
         rel0 = rel_for(points[0], points[0], 0, agg_compact(0))
-        starts0 = starts_for(points[0], points[0], 0, 1, is_self=True)
+        starts0 = starts_for(points[0], points[0], 0, 1, is_self=True,
+                             tau=tau0)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
             feats, points[0], points[0], nbr0, inf0, tau0, rel0, starts0
         )
@@ -878,10 +919,11 @@ class KPConvFPN(nn.Module):
             rel_self = rel_for(points[lvl], points[lvl], lvl, agg_compact(lvl))
             starts_cross = starts_for(
                 points[lvl], points[lvl - 1], lvl - 1, 2 ** (stage - 2),
-                is_self=False,
+                is_self=False, tau=tau_cross,
             )
             starts_self = starts_for(
-                points[lvl], points[lvl], lvl, 2 ** (stage - 1), is_self=True
+                points[lvl], points[lvl], lvl, 2 ** (stage - 1), is_self=True,
+                tau=tau_self,
             )
             x = ResidualBlock(
                 cin,

@@ -124,6 +124,7 @@ class CoFiI2P(nn.Module):
             dynamic_plan_self=cfg.kpconv_dynamic_plan_self,
             dynamic_center=cfg.kpconv_dynamic_center,
             residual_fused=cfg.kpconv_residual_fused,
+            knn_window_plan=cfg.kpconv_knn_window_plan,
             shared_influence=cfg.kpconv_shared_influence,
             name="pc_encoder",
         )(feats, points, neighbors, subsampling, upsampling)

