@@ -263,10 +263,16 @@ def main():
     # serves w192 regardless of checkpoint.
     from cofii2p_tpu.config import SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF
 
+    # attention='pallas': the flash-style fused kernel (no HBM score
+    # matrix) — the round-5 transformer bisect measured it 18.0 -> 8.8
+    # ms/apply at the I2P shape (tools/tf_micro; the attention einsum chain
+    # was 14.4 of the 18).  Same math, softmax still fp32; eval-only (no
+    # VJP), which the eval pipeline never needs.
     cfg = KITTIConfig(
         compute_dtype="bfloat16",
         kpconv_dynamic_plan=SERVE_DYNAMIC_PLAN,
         kpconv_dynamic_plan_self=SERVE_DYNAMIC_PLAN_SELF,
+        attention="pallas",
     )
 
     check_kernels(cfg)

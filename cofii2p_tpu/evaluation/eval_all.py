@@ -70,6 +70,12 @@ def reference_ckpt_config(cfg, overrides):
         cfg = cfg.replace(kpconv_shared_influence=False)
     if "fine_decode" not in keyed:
         cfg = cfg.replace(fine_decode="reference")
+    if "attention" not in keyed and jax.default_backend() == "tpu":
+        # flash-style fused attention kernel — same math as 'full' (softmax
+        # fp32, bit-equal in interpret mode, rtol 1e-4 on TPU), 2x the
+        # transformer throughput (tools/tf_micro round 5); eval-only, which
+        # this path always is
+        cfg = cfg.replace(attention="pallas")
     return cfg
 
 

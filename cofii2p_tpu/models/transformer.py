@@ -27,13 +27,28 @@ from cofii2p_tpu.models.layers import xavier_init
 
 def full_attention(q, k, v):
     """Softmax attention over (B, L/S, H, D) tensors
-    (reference linear_attention.py:50-78)."""
+    (reference linear_attention.py:50-78).
+
+    Layout: the score/softmax chain runs head-major ((B, H, L, S)) so the
+    S=1280 axis rides the 128-lane minor dimension.  The reference-shaped
+    "blhd,bshd->blsh" formulation puts H=4 minor — 4/128 lane utilization
+    on the ~52 MB fp32 softmax chain per call, which made the transformer
+    the largest non-kernel stage (14.5 ms/batch of the w192 pipeline,
+    PERF.md round-5 glue decomposition).  Same math, same fp32 softmax —
+    only the reduction layout changes.
+    """
     d = q.shape[-1]
+    qT = jnp.swapaxes(q, 1, 2)  # (B, H, L, D)
+    kT = jnp.swapaxes(k, 1, 2)  # (B, H, S, D)
+    vT = jnp.swapaxes(v, 1, 2)  # (B, H, S, D)
     logits = jnp.einsum(
-        "blhd,bshd->blsh", q, k, preferred_element_type=jnp.float32
+        "bhld,bhsd->bhls", qT, kT, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.float32(d))
-    attn = jax.nn.softmax(logits, axis=2)
-    return jnp.einsum("blsh,bshd->blhd", attn, v, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhls,bhsd->bhld", attn, vT, preferred_element_type=jnp.float32
+    )
+    return jnp.swapaxes(out, 1, 2)  # (B, L, H, D) fp32
 
 
 def linear_attention(q, k, v, eps: float = 1e-6):
@@ -46,6 +61,16 @@ def linear_attention(q, k, v, eps: float = 1e-6):
     kv = jnp.einsum("bshd,bshv->bhdv", kf, v)
     z = 1.0 / (jnp.einsum("blhd,bhd->blh", qf, jnp.sum(kf, axis=1)) + eps)
     return jnp.einsum("blhd,bhdv,blh->blhv", qf, kv, z) * s
+
+
+def _seq_l2norm(q: jax.Array) -> jax.Array:
+    """The reference's F.normalize(default dim=1) on the (B, L, H, D)
+    projected query — a SEQUENCE-axis L2 norm (transformer.py:53), kept
+    for checkpoint parity; fp32 for bf16 stability."""
+    q32 = q.astype(jnp.float32)
+    return (
+        q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-12)
+    ).astype(q.dtype)
 
 
 class LoFTREncoderLayer(nn.Module):
@@ -68,10 +93,8 @@ class LoFTREncoderLayer(nn.Module):
         k = dense("k_proj")(source).reshape(b, -1, h, d)
         v = dense("v_proj")(source).reshape(b, -1, h, d)
 
-        # reference quirk: L2-normalize q along the *sequence* axis (dim=1);
-        # the norm runs in fp32 for bf16 stability
-        q32 = q.astype(jnp.float32)
-        q = (q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-12)).astype(q.dtype)
+        # reference quirk: L2-normalize q along the *sequence* axis (dim=1)
+        q = _seq_l2norm(q)
 
         if self.attention == "pallas":
             from cofii2p_tpu.ops.attention_kernel import fused_attention

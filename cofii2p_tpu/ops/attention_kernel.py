@@ -49,9 +49,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, q_tile: int = 128)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     grid = (b * h, pl.cdiv(l, q_tile))
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests interpret
     out = pl.pallas_call(
         _attn_kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, q_tile, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -48,6 +48,11 @@ def main():
                          "so 'all' runs two more passes than it used to)")
     ap.add_argument("--tiny", action="store_true",
                     help="TinyConfig CPU smoke test (random init, no ckpt)")
+    ap.add_argument("--hypotheses", default="",
+                    help="comma-separated ransac_hypotheses values to sweep "
+                    "(each combined with every selected plan; default: the "
+                    "config's 512 only) — round-5 brief: 512 was never swept "
+                    "at trained quality and RANSAC is 6.1 ms/batch")
     args = ap.parse_args()
 
     # (name, cross plan, self plan, center) — each config is a full eval
@@ -95,12 +100,23 @@ def main():
     rngs = jax.random.split(jax.random.PRNGKey(7), nb)
 
     results = {}
-    for name, plan, plan_self, center in plans:
+    hyp_values = (
+        [int(x) for x in args.hypotheses.split(",")] if args.hypotheses
+        else [None]
+    )
+    runs = [
+        (name + (f"-h{h}" if h else ""), plan, plan_self, center, h)
+        for name, plan, plan_self, center in plans
+        for h in hyp_values
+    ]
+    for name, plan, plan_self, center, hyp in runs:
         cfg = base.replace(
             kpconv_dynamic_plan=plan,
             kpconv_dynamic_plan_self=plan_self,
             kpconv_dynamic_center=center,
         )
+        if hyp:
+            cfg = cfg.replace(ransac_hypotheses=hyp)
         model = CoFiI2P(cfg)
         tx = train_lib.make_optimizer(cfg)
         state = train_lib.init_state(
