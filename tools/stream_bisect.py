@@ -74,6 +74,8 @@ def main():
         cfg = cfg.replace(
             kpconv_dynamic_plan=SERVE_DYNAMIC_PLAN,
             kpconv_dynamic_plan_self=SERVE_DYNAMIC_PLAN_SELF,
+            # the round-5 serving default (bench.py): fused Pallas attention
+            attention="pallas",
         )
     model = CoFiI2P(cfg)
     ds = SyntheticDataset(cfg, "val", length=args.batch * args.chunk)
