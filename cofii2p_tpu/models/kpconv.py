@@ -832,9 +832,18 @@ class KPConvFPN(nn.Module):
             r_act = kernel_reach(
                 r * radius_scale, s * radius_scale, ks
             )
+            # subsampled occupancy estimate at the big levels: the full
+            # (tile, N) distance block costs more than the windows save at
+            # N >= 10240 (PERF.md round-5 shallow sweep); the mass profile
+            # is smooth at window scale, so stride-N/2560 sampling places
+            # the window within ~stride rows at ~1/stride the cost
+            stride = (
+                max(1, s_pts.shape[-2] // 2560)
+                if self.dynamic_center == "best" else 1
+            )
             return jax.vmap(
                 lambda q, sp: dynamic_band_starts(
-                    q, sp, r_act, self.tile, w, self.dynamic_center
+                    q, sp, r_act, self.tile, w, self.dynamic_center, stride
                 )
             )(q_pts, s_pts)
 

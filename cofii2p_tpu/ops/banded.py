@@ -91,7 +91,7 @@ def _band_start(t, tile: int, num_q: int, num_s: int, band: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_active", "tile", "width", "center")
+    jax.jit, static_argnames=("r_active", "tile", "width", "center", "stride")
 )
 def dynamic_band_starts(
     q_points: jax.Array,
@@ -100,6 +100,7 @@ def dynamic_band_starts(
     tile: int = 128,
     width: int = 256,
     center: str = "centroid",
+    stride: int = 1,
 ):
     """Per-tile support-band starts computed from the frame's actual
     geometry (device, per forward pass).
@@ -129,6 +130,13 @@ def dynamic_band_starts(
         at real scale (one far row drags the midpoint off the diagonal:
         pair coverage 0.17 vs the static plan's 0.82 at L1, w=256).
 
+    ``stride`` (``center='best'`` only): estimate the in-reach mass on
+    every stride-th support row instead of all N.  The round-5 shallow-
+    window sweep showed the full (tile, N) distance block COSTS MORE than
+    the narrower scan saves at N >= 10240 (PERF.md); the mass profile is
+    smooth at the window scale, so a subsampled estimate places the window
+    within ~stride rows of the full one at ~1/stride the cost.
+
     Returns (num_tiles,) int32 window starts, clipped to [0, N - width].
     Falls back to the static proportional center for tiles with no
     in-reach support (their output is zero/empty either way).
@@ -140,19 +148,31 @@ def dynamic_band_starts(
     num_tiles = m // tile
     width = min(width, n)
     r2 = jnp.float32(r_active * r_active) * 1.0001  # conservative boundary
+    if stride > 1 and center != "best":
+        raise NotImplementedError("stride>1 is implemented for center='best'")
+    s_sub = s_points[::stride] if stride > 1 else s_points
+    n_sub = s_sub.shape[0]
+    w_sub = max(width // stride, 1)
 
     def span_of(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
+        if center == "best":
+            d2 = _membership_d2(q, s_sub)  # (tile, n_sub)
+            within = jnp.any(d2 <= r2, axis=0)
+            has = jnp.any(within)
+            wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (n_sub,)
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                  jnp.cumsum(wcnt)])
+            win = cs[w_sub:] - cs[: n_sub - w_sub + 1]  # mass of window at j
+            dyn = (jnp.argmax(win) * stride).astype(jnp.int32)
+            static = ((2 * t * tile + tile) * n) // (2 * m) - width // 2
+            return jnp.clip(
+                jnp.where(has, dyn, static), 0, n - width
+            ).astype(jnp.int32)
         d2 = _membership_d2(q, s_points)  # (tile, N)
         within = jnp.any(d2 <= r2, axis=0)  # (N,)
         has = jnp.any(within)
-        if center == "best":
-            wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (N,)
-            cs = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                  jnp.cumsum(wcnt)])
-            win = cs[width:] - cs[: n - width + 1]  # mass of window at j
-            dyn = jnp.argmax(win).astype(jnp.int32)
-        elif center == "centroid":
+        if center == "centroid":
             wcnt = jnp.sum(d2 <= r2, axis=0).astype(jnp.float32)  # (N,)
             j = jnp.arange(n, dtype=jnp.float32)
             mid = jnp.sum(j * wcnt) / jnp.maximum(jnp.sum(wcnt), 1.0)

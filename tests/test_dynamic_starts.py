@@ -396,3 +396,41 @@ def test_dynamic_fused_backward_matches_xla():
     np.testing.assert_allclose(
         np.asarray(gw_pl), np.asarray(gw_x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_strided_estimator_places_near_full():
+    """stride>1 subsamples the occupancy estimate; on LiDAR-like geometry
+    the chosen windows must keep (almost) the same in-reach mass as the
+    full estimator's — the round-5 contract that makes shallow-level
+    windows affordable (the full (tile, N) block cost more than the
+    narrower scan saved, PERF.md)."""
+    rng = np.random.default_rng(12)
+    n, m, tile, width = 2048, 512, 64, 256
+    pts = _cloud(n, rng)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    s = jnp.asarray(pts[order])
+    q = s[:: n // m]
+
+    full = np.asarray(
+        dynamic_band_starts(q, s, R_ACTIVE, tile, width, "best", 1)
+    )
+    sub = np.asarray(
+        dynamic_band_starts(q, s, R_ACTIVE, tile, width, "best", 4)
+    )
+
+    # mass kept by each start choice, per tile
+    d2 = np.sum((np.asarray(q)[:, None] - np.asarray(s)[None]) ** 2, -1)
+    within = d2 <= R_ACTIVE**2 * 1.0001
+    kept_full = kept_sub = total = 0
+    for t in range(len(full)):
+        rows = within[t * tile : (t + 1) * tile]
+        total += rows.sum()
+        kept_full += rows[:, full[t] : full[t] + width].sum()
+        kept_sub += rows[:, sub[t] : sub[t] + width].sum()
+    assert total > 0
+    # the subsampled placement keeps >= 98% of the full placement's mass
+    assert kept_sub >= 0.98 * kept_full, (kept_sub, kept_full, total)
+
+    # non-'best' centers reject stride>1 loudly
+    with pytest.raises(NotImplementedError):
+        dynamic_band_starts(q, s, R_ACTIVE, tile, width, "centroid", 4)
