@@ -810,22 +810,12 @@ class KPConvFPN(nn.Module):
                 aggregate_compact=agg_compact(support_lvl),
             )
 
-        def starts_for(q_pts, s_pts, support_lvl, radius_scale, is_self,
-                       tau=None):
+        def starts_for(q_pts, s_pts, support_lvl, radius_scale, is_self):
             # one starts tensor per (query level, support level) pair,
             # shared by every sibling block on it (the blocks at a pair all
             # run the same radius, so one in-reach span serves them all).
-            # knn mode: tau-based exact-coverage windows instead of the
-            # radius in-reach estimator.
-            if knn_mode:
-                w = knn_w(support_lvl)
-                if w == 0 or tau is None:
-                    return None
-                return jax.vmap(
-                    lambda q, sp, t: dynamic_knn_starts(
-                        q, sp, t, self.tile, w
-                    )
-                )(q_pts, s_pts, tau)
+            # knn mode is handled by knn_tau_starts (the tau and its window
+            # are produced together there).
             w = dyn_w(support_lvl, is_self)
             if w == 0:
                 return None
@@ -847,6 +837,14 @@ class KPConvFPN(nn.Module):
                 )
             )(q_pts, s_pts)
 
+        def pair_aux(q_pts, s_pts, support_lvl, radius_scale, is_self):
+            """(tau, starts) for a (query, support) pair under the impl."""
+            if knn_mode:
+                return knn_tau_starts(q_pts, s_pts, support_lvl)
+            return None, starts_for(
+                q_pts, s_pts, support_lvl, radius_scale, is_self
+            )
+
         def kw_res(support_lvl: int, is_self: bool = True) -> dict:
             return dict(
                 kw(support_lvl, is_self),
@@ -865,6 +863,36 @@ class KPConvFPN(nn.Module):
                     q, sp, self.knn_k, self.tile, bw(support_lvl)
                 )
             )(q_pts, s_pts)
+
+        def knn_tau_starts(q_pts, s_pts, support_lvl):
+            """(tau, starts) for a knn pair.  With a window plan width, the
+            round-5 windowed-tau chain: a subsampled proxy tau places the
+            max-in-tau-mass window, then the EXACT in-window k-th distance
+            is computed over just the window — the full-band top_k was
+            95.7 ms/batch of the .t7 path (PERF.md).  Without a width, the
+            full-band tau (round-4 behavior)."""
+            w = knn_w(support_lvl)
+            if w == 0:
+                return tau_for(q_pts, s_pts, support_lvl), None
+            k = self.knn_k
+            stride = max(1, s_pts.shape[-2] // 2560)
+            proxy = jax.vmap(
+                lambda q, sp: banded_knn_tau(
+                    q, sp[::stride], max(k // stride, 1), self.tile,
+                    max(bw(support_lvl) // stride, 32),
+                )
+            )(q_pts, s_pts)
+            starts = jax.vmap(
+                lambda q, sp, t: dynamic_knn_starts(
+                    q, sp, t, self.tile, w, stride
+                )
+            )(q_pts, s_pts, proxy)
+            tau = jax.vmap(
+                lambda q, sp, st: banded_knn_tau(
+                    q, sp, k, self.tile, w, starts=st
+                )
+            )(q_pts, s_pts, starts)
+            return tau, starts
 
         def rel_for(q_pts, s_pts, support_lvl, agg_k, mp_k=0):
             # one nearest-first selection per (query level, support level)
@@ -888,10 +916,8 @@ class KPConvFPN(nn.Module):
             if banded or not shared
             else kernel_influence(points[0], points[0], nbr0, r, s, ks)
         )
-        tau0 = tau_for(points[0], points[0], 0)
         rel0 = rel_for(points[0], points[0], 0, agg_compact(0))
-        starts0 = starts_for(points[0], points[0], 0, 1, is_self=True,
-                             tau=tau0)
+        tau0, starts0 = pair_aux(points[0], points[0], 0, 1, is_self=True)
         x = ConvBlock(d, ks, r, s, name="encoder1_1", **kw(0))(
             feats, points[0], points[0], nbr0, inf0, tau0, rel0, starts0
         )
@@ -919,20 +945,18 @@ class KPConvFPN(nn.Module):
                     r * 2 ** (stage - 1), s * 2 ** (stage - 1), ks,
                 )
             )
-            tau_cross = tau_for(points[lvl], points[lvl - 1], lvl - 1)
-            tau_self = tau_for(points[lvl], points[lvl], lvl)
+
             rel_cross = rel_for(
                 points[lvl], points[lvl - 1], lvl - 1,
                 agg_compact(lvl - 1), mp_compact(lvl - 1),
             )
             rel_self = rel_for(points[lvl], points[lvl], lvl, agg_compact(lvl))
-            starts_cross = starts_for(
+            tau_cross, starts_cross = pair_aux(
                 points[lvl], points[lvl - 1], lvl - 1, 2 ** (stage - 2),
-                is_self=False, tau=tau_cross,
+                is_self=False,
             )
-            starts_self = starts_for(
+            tau_self, starts_self = pair_aux(
                 points[lvl], points[lvl], lvl, 2 ** (stage - 1), is_self=True,
-                tau=tau_self,
             )
             x = ResidualBlock(
                 cin,

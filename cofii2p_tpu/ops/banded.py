@@ -189,13 +189,14 @@ def dynamic_band_starts(
     return jax.lax.map(span_of, jnp.arange(num_tiles))
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "width"))
+@functools.partial(jax.jit, static_argnames=("tile", "width", "stride"))
 def dynamic_knn_starts(
     q_points: jax.Array,
     s_points: jax.Array,
     tau: jax.Array,
     tile: int = 128,
     width: int = 256,
+    stride: int = 1,
 ):
     """Per-tile window starts for k-NN (tau) semantics.
 
@@ -208,6 +209,11 @@ def dynamic_knn_starts(
     fits W the windowed scan reproduces the full-band result bit-for-bit
     (coverage measured by tools/knn_window_ab; see PERF.md round 5).
 
+    ``stride``: estimate the in-tau mass on every stride-th support row
+    (see dynamic_band_starts — the mass profile is smooth at window scale,
+    and the full (tile, N) block dominated the kNN windows' cost at the
+    shallow levels).
+
     Returns (num_tiles,) int32 window starts, clipped to [0, N - width].
     """
     m, n = q_points.shape[0], s_points.shape[0]
@@ -216,17 +222,20 @@ def dynamic_knn_starts(
         tile //= 2
     num_tiles = m // tile
     width = min(width, n)
+    s_sub = s_points[::stride] if stride > 1 else s_points
+    n_sub = s_sub.shape[0]
+    w_sub = max(width // stride, 1)
 
     def span_of(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
         tau_t = jax.lax.dynamic_slice(tau, (t * tile,), (tile,))
-        d2 = _membership_d2(q, s_points)  # (tile, N)
+        d2 = _membership_d2(q, s_sub)  # (tile, n_sub)
         within = d2 <= tau_t[:, None]
-        wcnt = jnp.sum(within, axis=0).astype(jnp.float32)  # (N,)
+        wcnt = jnp.sum(within, axis=0).astype(jnp.float32)  # (n_sub,)
         has = jnp.any(within)
         cs = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(wcnt)])
-        win = cs[width:] - cs[: n - width + 1]
-        dyn = jnp.argmax(win).astype(jnp.int32)
+        win = cs[w_sub:] - cs[: n_sub - w_sub + 1]
+        dyn = (jnp.argmax(win) * stride).astype(jnp.int32)
         static = ((2 * t * tile + tile) * n) // (2 * m) - width // 2
         return jnp.clip(
             jnp.where(has, dyn, static), 0, n - width
@@ -765,8 +774,18 @@ def banded_knn_tau(
     k: int = 128,
     tile: int = 128,
     band_width: int = 1024,
+    starts: jax.Array | None = None,
 ):
     """Squared distance to each query's k-th nearest *in-band* support point.
+
+    ``starts``: optional (num_tiles,) window starts — the k-NN threshold is
+    then computed over each tile's width-``band_width`` window instead of
+    the static band (the round-5 windowed-tau chain: a subsampled proxy tau
+    places the window, this computes the exact in-WINDOW k-th distance, and
+    the kernels scan the same window — the full-band top_k was 95.7 ms/batch
+    of the .t7 path, PERF.md).  Membership deviates from the full-band tau
+    only where the window misses in-band k-nearest rows (drift-gated,
+    tools/window_drift --knn).
 
     This is the whole interface the reference's k-NN neighbor maps reduce to
     under banding: the neighborhood {j : d2(m, j) <= tau_m} within the band
@@ -789,8 +808,17 @@ def banded_knn_tau(
     ties arbitrarily, so either set is equally faithful.
     """
     m, n = q_points.shape[0], s_points.shape[0]
-    kk = min(k, n)
-    tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
+    if starts is not None:
+        tile = min(tile, m)
+        while m % tile:
+            tile //= 2
+        num_tiles = m // tile
+        band = min(band_width, n)
+        dense = False
+        kk = min(k, band)
+    else:
+        kk = min(k, n)
+        tile, num_tiles, band, dense = _band_geometry(m, n, tile, band_width)
 
     def tau_of(q, p):
         d2 = _membership_d2(q, p)
@@ -816,7 +844,9 @@ def banded_knn_tau(
 
     def tile_fn(t):
         q = jax.lax.dynamic_slice(q_points, (t * tile, 0), (tile, 3))
-        start = _band_start(t, tile, m, n, band)
+        start = (
+            _band_start(t, tile, m, n, band) if starts is None else starts[t]
+        )
         p = jax.lax.dynamic_slice(s_points, (start, 0), (band, 3))
         return tau_of(q, p)
 

@@ -72,6 +72,7 @@ def main():
         "knn512": (512, 512, 512, 512, 512),
         "knn384": (384, 384, 384, 384, 384),
         "knn256": (256, 256, 256, 256, 256),
+        "knn192": (192, 192, 192, 192, 192),
     }
     if args.knn:
         if args.plans == "static,dynamic,narrow":

@@ -58,6 +58,17 @@ def main():
         "--variants", default="full,mp,agg,near,gn,kernels,all"
     )
     ap.add_argument(
+        "--impl", default=None,
+        help="'banded_knn' = the .t7 reproduction config (banded_knn + "
+        "per-layer dispositions + reference fine decode + pallas "
+        "attention); default = the radius serving/parity config",
+    )
+    ap.add_argument(
+        "--knnplan", type=int, default=0,
+        help="with --impl banded_knn: kNN window width on every level "
+        "(kpconv_knn_window_plan), 0 = full static bands",
+    )
+    ap.add_argument(
         "--plan", default="static",
         help="'static' (the parity bands) or 'serve' (the bench serving "
         "plan, config.SERVE_DYNAMIC_PLAN) — measure stage shares under "
@@ -66,6 +77,16 @@ def main():
     args = ap.parse_args()
 
     cfg = KITTIConfig(compute_dtype=args.dtype)
+    if args.impl == "banded_knn":
+        cfg = cfg.replace(
+            kpconv_impl="banded_knn",
+            kpconv_shared_influence=False,
+            fine_decode="reference",
+            attention="pallas",
+            kpconv_knn_window_plan=(
+                (args.knnplan,) * 5 if args.knnplan else None
+            ),
+        )
     if args.plan == "serve":
         from cofii2p_tpu.config import (
             SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF,
@@ -99,6 +120,10 @@ def main():
     real_near = kpconv_mod.banded_nearest_index
     real_gn = layers_mod._gn_normalize
     real_resfuse = res_mod.banded_residual_fused_pallas
+    real_tau_agg = agg_mod.banded_kpconv_aggregate_tau_pallas
+    real_tau_fused = agg_mod.banded_kpconv_fused_tau_pallas
+    real_tau_mp = mp_mod.banded_maxpool_tau_pallas
+    real_knn_tau = kpconv_mod.banded_knn_tau
     real_resnet = net_mod.ResNetEncoder
     real_tf = net_mod.LocalFeatureTransformer
     real_score = net_mod.ScoreHead
@@ -133,6 +158,30 @@ def main():
 
     def stub_gn(x, g, eps):
         return x.astype(jnp.float32)
+
+    def stub_tau_agg(s_feats, q_points, s_points, tau, kp, radius, sigma,
+                     kernel_size=15, tile=128, band_width=1024,
+                     dtype=jnp.float32, starts=None):
+        return stub_agg(s_feats, q_points, s_points, radius, sigma,
+                        kernel_size, tile, band_width, dtype, starts)
+
+    def stub_tau_fused(s_feats, q_points, s_points, weights, tau, kp, radius,
+                       sigma, kernel_size=15, tile=128, band_width=1024,
+                       dtype=jnp.float32, starts=None):
+        return stub_fused(s_feats, q_points, s_points, weights, radius, sigma,
+                          kernel_size, tile, band_width, dtype, starts)
+
+    def stub_tau_mp(s_feats, q_points, s_points, tau, tile=128,
+                    band_width=1024, tie_even=True, starts=None):
+        return stub_mp(s_feats, q_points, s_points, 0.0)
+
+    def stub_knn_tau(q, s, k=128, tile=128, band_width=1024):
+        # cheap density proxy: the (k/8)-th distance on an 8x-subsampled
+        # support — approximates the same local-density quantile at ~1/64
+        # the top_k cost, so the consumers' membership stays realistic
+        return real_knn_tau(
+            q, s[::8], max(k // 8, 1), tile, max(band_width // 8, 32)
+        )
 
     def stub_resfuse(mp_feats, agg_feats, weights, q_points, s_points,
                      radius, sigma, kernel_size=15, tile=128, band_width=1024,
@@ -233,9 +282,17 @@ def main():
         )
 
     def set_stubs(agg=False, mp=False, near=False, gn=False, resnet=False,
-                  tf=False, heads=False, fine=False, ransac=False):
+                  tf=False, heads=False, fine=False, ransac=False, tau=False):
         agg_mod.banded_kpconv_aggregate_pallas = stub_agg if agg else real_agg
         agg_mod.banded_kpconv_fused_pallas = stub_fused if agg else real_fused
+        agg_mod.banded_kpconv_aggregate_tau_pallas = (
+            stub_tau_agg if agg else real_tau_agg
+        )
+        agg_mod.banded_kpconv_fused_tau_pallas = (
+            stub_tau_fused if agg else real_tau_fused
+        )
+        mp_mod.banded_maxpool_tau_pallas = stub_tau_mp if mp else real_tau_mp
+        kpconv_mod.banded_knn_tau = stub_knn_tau if tau else real_knn_tau
         kpconv_mod.banded_nearest_index = stub_near if near else real_near
         mp_mod.banded_maxpool_pallas = stub_mp if mp else real_mp
         layers_mod._gn_normalize = stub_gn if gn else real_gn
@@ -259,6 +316,7 @@ def main():
         "near": dict(near=True),
         "gn": dict(gn=True),
         "kernels": dict(mp=True, agg=True),
+        "tau": dict(tau=True),
         "all": dict(mp=True, agg=True, near=True, gn=True),
         # round-5 glue decomposition
         "resnet": dict(resnet=True),

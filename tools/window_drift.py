@@ -76,6 +76,7 @@ def main():
         "knn512": (512, 512, 512, 512, 512),
         "knn384": (384, 384, 384, 384, 384),
         "knn256": (256, 256, 256, 256, 256),
+        "knn192": (192, 192, 192, 192, 192),
         "knn8": (8, 8, 8, 8, 8),  # tiny smoke
     }
 
