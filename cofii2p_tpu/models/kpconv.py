@@ -855,9 +855,20 @@ class KPConvFPN(nn.Module):
         def tau_for(q_pts, s_pts, support_lvl):
             # one tau per (query level, support level) pair, shared by all
             # sibling blocks — the banded_knn twin of the shared influence
-            # tensor below
+            # tensor below.  The Pallas bisection producer (bit-identical
+            # tau, ops/tau_kernel.py) replaces the lax.top_k band sort on
+            # TPU — the sort was 95.7 ms/batch of the .t7 path (PERF.md).
             if not knn_mode:
                 return None
+            use_pallas = self.kernel == "pallas" or (
+                self.kernel == "auto" and jax.default_backend() == "tpu"
+            )
+            if use_pallas:
+                from cofii2p_tpu.ops.tau_kernel import banded_knn_tau_pallas
+
+                return banded_knn_tau_pallas(
+                    q_pts, s_pts, self.knn_k, self.tile, bw(support_lvl)
+                )
             return jax.vmap(
                 lambda q, sp: banded_knn_tau(
                     q, sp, self.knn_k, self.tile, bw(support_lvl)

@@ -498,3 +498,26 @@ def test_knn_window_fpn_wiring():
     for kern in ("xla", "pallas"):
         outs = fpn_out(narrow, kern)
         assert all(bool(np.isfinite(np.asarray(o)).all()) for o in outs)
+
+
+def test_tau_pallas_bitexact():
+    """The Pallas bisection tau producer (ops/tau_kernel.py) is BIT-exact
+    vs banded_knn_tau's top_k — including duplicate-point ties, where the
+    tie rule (nxt == kth) must reproduce the sorted (k+1)-th exactly."""
+    from cofii2p_tpu.ops.tau_kernel import banded_knn_tau_pallas
+
+    s1 = _morton_cloud(512, 21)
+    s = jnp.asarray(np.stack([s1, s1 + 0.02]))
+    q = s[:, ::2]
+    for k in (8, 16):
+        tp = banded_knn_tau_pallas(q, s, k, 64, 128)
+        tx = jax.vmap(lambda qq, ss: banded_knn_tau(qq, ss, k, 64, 128))(q, s)
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tx))
+
+    # exact duplicates (the resample_fixed padding): k-th and (k+1)-th tie
+    dup = np.concatenate([s1[:384], s1[:128]])
+    s2 = jnp.asarray(np.stack([dup, dup]))
+    q2 = s2[:, ::2]
+    tp = banded_knn_tau_pallas(q2, s2, 16, 64, 128)
+    tx = jax.vmap(lambda qq, ss: banded_knn_tau(qq, ss, 16, 64, 128))(q2, s2)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tx))

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--plans", default="static,dynamic,narrow",
                     help="comma-separated plan names from the table")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override cfg.kpconv_tile (0 = keep default)")
     ap.add_argument("--knn", action="store_true",
                     help="time kNN window plans (kpconv_knn_window_plan) on "
                     "the .t7-style config instead of radius dynamic plans; "
@@ -73,6 +75,10 @@ def main():
         "knn384": (384, 384, 384, 384, 384),
         "knn256": (256, 256, 256, 256, 256),
         "knn192": (192, 192, 192, 192, 192),
+        # graded: narrow where the top_k cost lives (shallow), wider/off at
+        # the deep levels where the 128-NN span most of the level
+        "knngrade": (256, 256, 384, 640, 0),
+        "knngrade2": (384, 384, 512, 0, 0),
     }
     if args.knn:
         if args.plans == "static,dynamic,narrow":
@@ -82,6 +88,8 @@ def main():
         plans = {k: plans[k] for k in args.plans.split(",")}
 
     base = KITTIConfig(compute_dtype=args.dtype)
+    if args.tile:
+        base = base.replace(kpconv_tile=args.tile)
     if args.knn:
         base = base.replace(
             kpconv_impl="banded_knn",

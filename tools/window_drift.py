@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--plans", default="w256,w192",
                     help="candidate plans to compare against static bands")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override cfg.kpconv_tile (0 = keep default)")
     ap.add_argument("--knn", action="store_true",
                     help="measure kNN window plans on the .t7-style config "
                     "(banded_knn + per-layer dispositions + reference fine "
@@ -77,6 +79,10 @@ def main():
         "knn384": (384, 384, 384, 384, 384),
         "knn256": (256, 256, 256, 256, 256),
         "knn192": (192, 192, 192, 192, 192),
+        # graded: narrow where the top_k cost lives (shallow), wider/off at
+        # the deep levels where the 128-NN span most of the level
+        "knngrade": (256, 256, 384, 640, 0),
+        "knngrade2": (384, 384, 512, 0, 0),
         "knn8": (8, 8, 8, 8, 8),  # tiny smoke
     }
 
@@ -87,6 +93,8 @@ def main():
         args.batch = min(args.batch, 4)
     else:
         base = KITTIConfig(compute_dtype=args.dtype)
+    if args.tile:
+        base = base.replace(kpconv_tile=args.tile)
     if args.knn:
         base = base.replace(
             kpconv_impl="banded_knn",
