@@ -84,7 +84,9 @@ def main():
             ("w8", (0, 8, 8, 8, 0), (0, 0, 8, 8, 0), "best"),
         ]
     else:
-        base = KITTIConfig(compute_dtype=args.dtype)
+        # serving-faithful base: the bench config's fused Pallas attention
+        # (value-equivalent to 'full'; round-5 serving default)
+        base = KITTIConfig(compute_dtype=args.dtype, attention="pallas")
     nb = args.frames // args.batch
     ds = SyntheticDataset(base, "val", length=args.frames)
     batches = [
