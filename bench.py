@@ -260,7 +260,13 @@ def main():
     # (PERF.md "dynamic windows in context"); these are.  Scope note
     # (ADVICE r4): the w192 confirmation ran on the w256-trained
     # checkpoint only (the w256 gate covered both checkpoints); bench
-    # serves w192 regardless of checkpoint.
+    # serves w192 regardless of checkpoint.  Round 5 re-gated the FULL
+    # serving config (w192 + strided placement + pallas attention) two
+    # ways: deterministically (tools/window_drift: windows move ~20-30%
+    # of coarse token assignments) and at 64 frames on two checkpoints —
+    # 64/64 success both, and on the strong re-gate checkpoint the
+    # window cost is finally resolvable and small (+0.28 deg / +0.31 m;
+    # ACCURACY.md "windows impact" + re-gate rows).
     from cofii2p_tpu.config import SERVE_DYNAMIC_PLAN, SERVE_DYNAMIC_PLAN_SELF
 
     # attention='pallas': the flash-style fused kernel (no HBM score
